@@ -1,0 +1,122 @@
+"""Host-side orderings for the native factorizations.
+
+The reference delegates ordering to its backends (AMD/COLAMD/METIS etc.,
+russell_sparse/src/enums.rs:71-158). TPU-native design: the *symbolic* phase
+runs on host (it is pointer-chasing, not FLOPs) and produces a static
+permutation that shapes the compiled numeric factorization:
+
+- RCM (reverse Cuthill-McKee) minimizes bandwidth, feeding the
+  block-tridiagonal MXU factorization (Genie.BANDED)
+- MINDEG (approximate minimum degree flavor) minimizes fill for Genie.SPLU
+
+Pure NumPy; a C++ fast path can replace these transparently (same outputs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["rcm_ordering", "mindeg_ordering", "bandwidth", "symmetrize_pattern"]
+
+
+def symmetrize_pattern(n, rows, cols):
+    """Return adjacency (indptr, indices) of the symmetrized pattern A+A^T
+    without the diagonal."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    off = rows != cols
+    r = np.concatenate([rows[off], cols[off]])
+    c = np.concatenate([cols[off], rows[off]])
+    order = np.lexsort((c, r))
+    r, c = r[order], c[order]
+    if len(r):
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        r, c = r[keep], c[keep]
+    counts = np.bincount(r, minlength=n)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr, c
+
+
+def bandwidth(rows, cols, perm=None) -> int:
+    """Max |perm[i]-perm[j]| over the nonzero pattern (0 for diagonal)."""
+    rows = np.asarray(rows)
+    cols = np.asarray(cols)
+    if len(rows) == 0:
+        return 0
+    if perm is not None:
+        iperm = np.empty(len(perm), dtype=np.int64)
+        iperm[perm] = np.arange(len(perm))
+        rows = iperm[rows]
+        cols = iperm[cols]
+    return int(np.max(np.abs(rows - cols)))
+
+
+def rcm_ordering(n, rows, cols) -> np.ndarray:
+    """Reverse Cuthill-McKee: returns ``perm`` with new_index = position of
+    old index in ``perm`` (i.e. A_new = A[perm][:, perm])."""
+    indptr, adj = symmetrize_pattern(n, rows, cols)
+    degree = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    # process every connected component
+    remaining = np.argsort(degree, kind="stable")
+    rem_idx = 0
+    while pos < n:
+        while rem_idx < n and visited[remaining[rem_idx]]:
+            rem_idx += 1
+        start = remaining[rem_idx]
+        # BFS from a pseudo-peripheral-ish start (min degree in component)
+        visited[start] = True
+        order[pos] = start
+        pos += 1
+        head = pos - 1
+        while head < pos:
+            u = order[head]
+            head += 1
+            nbrs = adj[indptr[u]:indptr[u + 1]]
+            nbrs = nbrs[~visited[nbrs]]
+            if len(nbrs):
+                nbrs = nbrs[np.argsort(degree[nbrs], kind="stable")]
+                visited[nbrs] = True
+                order[pos:pos + len(nbrs)] = nbrs
+                pos += len(nbrs)
+    return order[::-1].copy()  # reverse CM
+
+
+def mindeg_ordering(n, rows, cols) -> np.ndarray:
+    """Greedy minimum-degree ordering on the symmetrized quotient graph.
+
+    A compact minimum-degree variant (no supervariables): good enough to cut
+    fill substantially versus natural order; a full AMD can replace it later
+    behind the same interface.
+    """
+    indptr, adj = symmetrize_pattern(n, rows, cols)
+    neighbors = [set(adj[indptr[i]:indptr[i + 1]].tolist()) for i in range(n)]
+    eliminated = np.zeros(n, dtype=bool)
+    perm = np.empty(n, dtype=np.int64)
+    import heapq
+
+    heap = [(len(neighbors[i]), i) for i in range(n)]
+    heapq.heapify(heap)
+    stamp = np.zeros(n, dtype=np.int64)  # lazy degree validation
+    for k in range(n):
+        while True:
+            d, v = heapq.heappop(heap)
+            if not eliminated[v] and d == len(neighbors[v]):
+                break
+        perm[k] = v
+        eliminated[v] = True
+        nbrs = [u for u in neighbors[v] if not eliminated[u]]
+        # form the clique among v's neighbors (symbolic elimination)
+        for u in nbrs:
+            s = neighbors[u]
+            s.discard(v)
+            for w in nbrs:
+                if w != u:
+                    s.add(w)
+            heapq.heappush(heap, (len(s), u))
+        neighbors[v] = set()
+    return perm

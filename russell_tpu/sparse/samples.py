@@ -1,0 +1,238 @@
+"""Canonical sample matrices for solver tests.
+
+Mirrors the role (and names) of russell_sparse/src/samples.rs: small matrices
+with known determinants/solutions used to exercise every solver path on real
+kernels instead of mocks. Matrices marked "public" reproduce well-known vendor
+documentation examples (UMFPACK QuickStart, Intel MKL sparse examples); the
+rest are our own fixtures. Determinants are computed here once with NumPy at
+module import — they serve as oracles for the native factorizations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from russell_tpu.sparse.coo import CooMatrix
+from russell_tpu.sparse.csc import CscMatrix
+from russell_tpu.sparse.csr import CsrMatrix
+from russell_tpu.sparse.enums import Sym
+
+__all__ = [
+    "tiny_1x1", "complex_tiny_1x1",
+    "positive_definite_3x3_lower", "positive_definite_3x3_upper",
+    "positive_definite_3x3_full",
+    "complex_symmetric_3x3_lower", "complex_symmetric_3x3_full",
+    "lower_symmetric_5x5",
+    "unsymmetric_3x3",
+    "umfpack_unsymmetric_5x5", "umfpack_complex_unsymmetric_5x5",
+    "mkl_unsymmetric_5x5",
+    "block_unsymmetric_5x5",
+    "mkl_positive_definite_5x5_lower", "mkl_positive_definite_5x5_upper",
+    "mkl_symmetric_5x5_lower", "mkl_symmetric_5x5_upper", "mkl_symmetric_5x5_full",
+    "rectangular_1x2", "rectangular_1x7", "rectangular_7x1", "rectangular_3x4",
+    "complex_rectangular_4x3",
+    "bfwb62_path",
+]
+
+
+def _pack(dense, sym: Sym = Sym.NO):
+    dense = np.asarray(dense)
+    coo = CooMatrix.from_dense(dense, sym)
+    csc = CscMatrix.from_coo(coo)
+    csr = CsrMatrix.from_coo(coo)
+    if dense.shape[0] == dense.shape[1]:
+        det = np.linalg.det(dense if not sym.triangular() else coo.as_dense())
+    else:
+        det = 0.0
+    return coo, csc, csr, det
+
+
+def tiny_1x1():
+    return _pack([[0.123]])
+
+
+def complex_tiny_1x1():
+    return _pack(np.array([[0.123 + 0.456j]]))
+
+
+_PD3 = np.array([
+    [9.0, 1.5, 6.0],
+    [1.5, 0.5, 0.0],
+    [6.0, 0.0, 12.0],
+])
+
+
+def positive_definite_3x3_lower():
+    return _pack(np.tril(_PD3), Sym.YES_LOWER)
+
+
+def positive_definite_3x3_upper():
+    return _pack(np.triu(_PD3), Sym.YES_UPPER)
+
+
+def positive_definite_3x3_full():
+    return _pack(_PD3, Sym.YES_FULL)
+
+
+_CSYM3 = np.array([
+    [2.0 + 1.0j, -1.0 - 1.0j, 0.0],
+    [-1.0 - 1.0j, 2.0 + 2.0j, -1.0 + 0.5j],
+    [0.0, -1.0 + 0.5j, 2.0 - 1.0j],
+])
+
+
+def complex_symmetric_3x3_lower():
+    return _pack(np.tril(_CSYM3), Sym.YES_LOWER)
+
+
+def complex_symmetric_3x3_full():
+    return _pack(_CSYM3, Sym.YES_FULL)
+
+
+_SYM5 = np.array([
+    [2.0, 1.0, 1.0, 3.0, 2.0],
+    [1.0, 2.0, 2.0, 1.0, 1.0],
+    [1.0, 2.0, 9.0, 1.0, 5.0],
+    [3.0, 1.0, 1.0, 7.0, 1.0],
+    [2.0, 1.0, 5.0, 1.0, 8.0],
+])
+
+
+def lower_symmetric_5x5():
+    return _pack(np.tril(_SYM5), Sym.YES_LOWER)
+
+
+def unsymmetric_3x3():
+    return _pack([
+        [1.0, 2.0, 3.0],
+        [4.0, 5.0, 6.0],
+        [7.0, 8.0, 10.0],
+    ])
+
+
+# UMFPACK QuickStart example (public; umfpack_di_demo):
+# A x = b with x = [1,2,3,4,5], b = [8,45,-3,3,19]
+_UMF5 = np.array([
+    [2.0, 3.0, 0.0, 0.0, 0.0],
+    [3.0, 0.0, 4.0, 0.0, 6.0],
+    [0.0, -1.0, -3.0, 2.0, 0.0],
+    [0.0, 0.0, 1.0, 0.0, 0.0],
+    [0.0, 4.0, 2.0, 0.0, 1.0],
+])
+
+
+def umfpack_unsymmetric_5x5():
+    return _pack(_UMF5)
+
+
+def umfpack_complex_unsymmetric_5x5():
+    a = _UMF5.astype(np.complex128).copy()
+    a[0, 0] = 2.0 + 1.0j
+    a[2, 3] = 2.0 - 1.0j
+    return _pack(a)
+
+
+# Intel MKL sparse example matrix (public docs)
+_MKL5 = np.array([
+    [1.0, -1.0, 0.0, -3.0, 0.0],
+    [-2.0, 5.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 4.0, 6.0, 4.0],
+    [-4.0, 0.0, 2.0, 7.0, 0.0],
+    [0.0, 8.0, 0.0, 0.0, -5.0],
+])
+
+
+def mkl_unsymmetric_5x5():
+    return _pack(_MKL5)
+
+
+def block_unsymmetric_5x5():
+    return _pack([
+        [1.0, 2.0, 0.0, 0.0, 0.0],
+        [3.0, 4.0, 0.0, 0.0, 0.0],
+        [0.0, 0.0, 5.0, 6.0, 0.0],
+        [0.0, 0.0, 7.0, 8.0, 0.0],
+        [0.0, 0.0, 0.0, 0.0, 9.0],
+    ])
+
+
+# Intel MKL PARDISO SPD example (public docs)
+_MKLPD5 = np.array([
+    [9.0, 1.5, 6.0, 0.75, 3.0],
+    [1.5, 0.5, 0.0, 0.0, 0.0],
+    [6.0, 0.0, 12.0, 0.0, 0.0],
+    [0.75, 0.0, 0.0, 0.625, 0.0],
+    [3.0, 0.0, 0.0, 0.0, 16.0],
+])
+
+
+def mkl_positive_definite_5x5_lower():
+    return _pack(np.tril(_MKLPD5), Sym.YES_LOWER)
+
+
+def mkl_positive_definite_5x5_upper():
+    return _pack(np.triu(_MKLPD5), Sym.YES_UPPER)
+
+
+_MKLSYM5 = np.array([
+    [1.0, -1.0, 0.0, -3.0, 0.0],
+    [-1.0, 5.0, 0.0, 0.0, 0.0],
+    [0.0, 0.0, 4.0, 6.0, 4.0],
+    [-3.0, 0.0, 6.0, 7.0, 0.0],
+    [0.0, 0.0, 4.0, 0.0, -5.0],
+])
+_MKLSYM5 = (_MKLSYM5 + _MKLSYM5.T) / 2.0
+
+
+def mkl_symmetric_5x5_lower():
+    return _pack(np.tril(_MKLSYM5), Sym.YES_LOWER)
+
+
+def mkl_symmetric_5x5_upper():
+    return _pack(np.triu(_MKLSYM5), Sym.YES_UPPER)
+
+
+def mkl_symmetric_5x5_full():
+    return _pack(_MKLSYM5, Sym.YES_FULL)
+
+
+def rectangular_1x2():
+    return _pack([[10.0, 20.0]])
+
+
+def rectangular_1x7():
+    return _pack([[1.0, 0.0, 3.0, 0.0, 5.0, 0.0, 7.0]])
+
+
+def rectangular_7x1():
+    return _pack([[1.0], [0.0], [3.0], [0.0], [5.0], [0.0], [7.0]])
+
+
+def rectangular_3x4():
+    return _pack([
+        [5.0, -2.0, 0.0, 1.0],
+        [10.0, -4.0, 0.0, 2.0],
+        [15.0, -6.0, 0.0, 3.0],
+    ])
+
+
+def complex_rectangular_4x3():
+    return _pack(np.array([
+        [4.0 + 4.0j, 0.0, 2.0 + 2.0j],
+        [0.0, 1.0, 3.0 + 3.0j],
+        [0.0, 5.0 + 5.0j, 1.0 + 1.0j],
+        [1.0, 0.0, 0.0],
+    ]))
+
+
+def bfwb62_path() -> str | None:
+    """Path to the bfwb62 MatrixMarket benchmark matrix, if available.
+
+    bfwb62 is the hardcoded-oracle matrix of the reference CLI benchmark
+    (russell_sparse/src/bin/solve_matrix_market.rs:307). We read it from the
+    mounted reference data when present.
+    """
+    p = "/root/reference/russell_sparse/data/matrix_market/bfwb62.mtx"
+    return p if os.path.exists(p) else None

@@ -1,0 +1,221 @@
+import os
+
+import numpy as np
+import pytest
+
+from russell_tpu.core import array_approx_eq, approx_eq, complex_array_approx_eq
+from russell_tpu.sparse import (
+    CooMatrix, LinSolver, LinSolParams, Genie, VerifyLinSys,
+    read_matrix_market, MMsym, samples,
+)
+from russell_tpu.sparse.enums import Ordering, Sym
+from russell_tpu.sparse.ordering import rcm_ordering, mindeg_ordering, bandwidth
+
+
+def _solve_and_check(sample_fn, genie=Genie.AUTO, tol=1e-10, params=None):
+    coo, _, _, det = sample_fn()
+    n = coo.nrow
+    full = coo.as_dense()
+    rng = np.random.default_rng(42)
+    x_true = rng.standard_normal(n) if full.dtype.kind != "c" else (
+        rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    rhs = full @ x_true
+    solver = LinSolver(genie)
+    solver.factorize(coo, params or LinSolParams(compute_determinant=True))
+    x = np.asarray(solver.solve(rhs))
+    array_approx_eq(np.abs(x - x_true), np.zeros(n), tol)
+    m, base, e = solver.determinant()
+    det_computed = m * base ** e
+    approx_eq(abs(det_computed - det), 0.0, max(1e-10, abs(det) * 1e-10))
+    return solver
+
+
+def test_dense_tiny():
+    _solve_and_check(samples.tiny_1x1)
+
+
+def test_dense_umfpack_5x5():
+    s = _solve_and_check(samples.umfpack_unsymmetric_5x5)
+    assert s.plan.genie == Genie.DENSE
+    # the canonical oracle: A x = b with x = 1..5
+    coo, _, _, _ = samples.umfpack_unsymmetric_5x5()
+    s2 = LinSolver()
+    s2.factorize(coo)
+    x = np.asarray(s2.solve(np.array([8.0, 45.0, -3.0, 3.0, 19.0])))
+    array_approx_eq(x, [1, 2, 3, 4, 5], 1e-12)
+
+
+def test_dense_mkl_5x5():
+    _solve_and_check(samples.mkl_unsymmetric_5x5)
+
+
+def test_symmetric_lower_storage():
+    _solve_and_check(samples.mkl_positive_definite_5x5_lower)
+    _solve_and_check(samples.mkl_symmetric_5x5_lower)
+    _solve_and_check(samples.lower_symmetric_5x5)
+
+
+def test_symmetric_upper_storage():
+    _solve_and_check(samples.mkl_positive_definite_5x5_upper)
+    _solve_and_check(samples.mkl_symmetric_5x5_upper)
+
+
+def test_complex_dense():
+    _solve_and_check(samples.complex_tiny_1x1)
+    _solve_and_check(samples.umfpack_complex_unsymmetric_5x5)
+    _solve_and_check(samples.complex_symmetric_3x3_lower)
+
+
+def test_structure_must_not_change():
+    coo, _, _, _ = samples.umfpack_unsymmetric_5x5()
+    solver = LinSolver()
+    solver.factorize(coo)
+    solver.factorize(coo)  # same structure: fine
+    other = CooMatrix.from_dense(np.eye(5))
+    with pytest.raises(ValueError, match="same structure"):
+        solver.factorize(other)
+
+
+def test_solve_before_factorize_fails():
+    with pytest.raises(RuntimeError, match="factorize"):
+        LinSolver().solve(np.ones(3))
+
+
+def test_rectangular_rejected():
+    coo, _, _, _ = samples.rectangular_3x4()
+    with pytest.raises(ValueError, match="square"):
+        LinSolver().factorize(coo)
+
+
+def test_singular_matrix_detected():
+    coo = CooMatrix.from_dense(np.array([[1.0, 2.0], [2.0, 4.0]]), zero_tol=-1.0)
+    with pytest.raises(RuntimeError, match="singular"):
+        LinSolver().factorize(coo)
+
+
+def _banded_problem(n=600, bw=5, seed=0):
+    """Diagonally dominant banded system (exercises the BANDED path)."""
+    rng = np.random.default_rng(seed)
+    coo = CooMatrix(n, n, n * (2 * bw + 1))
+    for i in range(n):
+        coo.put(i, i, 10.0 + rng.random())
+        for d in range(1, bw + 1):
+            if i + d < n:
+                coo.put(i, i + d, rng.standard_normal() * 0.5)
+                coo.put(i + d, i, rng.standard_normal() * 0.5)
+    return coo
+
+
+def test_banded_path():
+    coo = _banded_problem()
+    full = coo.as_dense()
+    x_true = np.linspace(1.0, 2.0, coo.nrow)
+    rhs = full @ x_true
+    solver = LinSolver(Genie.BANDED)
+    solver.factorize(coo, LinSolParams(compute_determinant=True))
+    assert solver.plan.genie == Genie.BANDED
+    x = np.asarray(solver.solve(rhs))
+    array_approx_eq(x, x_true, 1e-9)
+    v = VerifyLinSys.from_system(coo, x, rhs)
+    assert v.relative_error < 1e-12
+    # determinant vs dense logdet oracle
+    sign, logdet = np.linalg.slogdet(full)
+    m, base, e = solver.determinant()
+    approx_eq(np.log10(abs(m)) + e, logdet / np.log(10.0), 1e-8)
+    assert np.sign(m) == sign
+
+
+def test_banded_auto_selects():
+    coo = _banded_problem(n=2000, bw=3)
+    solver = LinSolver(Genie.AUTO)
+    solver.factorize(coo)
+    assert solver.plan.genie == Genie.BANDED
+    full = coo.as_dense()
+    x_true = np.ones(2000)
+    x = np.asarray(solver.solve(full @ x_true))
+    array_approx_eq(x, x_true, 1e-9)
+
+
+def test_banded_refactorize_values_only():
+    coo = _banded_problem(n=300, bw=4)
+    solver = LinSolver(Genie.BANDED)
+    solver.factorize(coo)
+    # scale values by 3, refactorize with same structure
+    coo.values[: coo.nnz] *= 3.0
+    solver.factorize(coo)
+    full = coo.as_dense()
+    x_true = np.ones(300)
+    x = np.asarray(solver.solve(full @ x_true))
+    array_approx_eq(x, x_true, 1e-9)
+
+
+def test_banded_complex():
+    coo = _banded_problem(n=200, bw=3)
+    ii, jj, vv = coo.triplets()
+    cvals = vv + 1j * 0.3 * np.arange(1, len(vv) + 1) / len(vv)
+    ccoo = CooMatrix.from_arrays(200, 200, ii, jj, cvals)
+    full = ccoo.as_dense()
+    x_true = np.ones(200) + 0.5j
+    solver = LinSolver(Genie.BANDED)
+    solver.factorize(ccoo)
+    x = np.asarray(solver.solve(full @ x_true))
+    complex_array_approx_eq(x, x_true, 1e-9)
+
+
+def test_ordering_helpers():
+    coo = _banded_problem(n=50, bw=2)
+    ii, jj, _ = coo.triplets()
+    assert bandwidth(ii, jj) == 2
+    # random permutation destroys bandwidth; RCM should restore something small
+    rng = np.random.default_rng(1)
+    p = rng.permutation(50)
+    pii, pjj = p[ii], p[jj]
+    assert bandwidth(pii, pjj) > 10
+    perm = rcm_ordering(50, pii, pjj)
+    assert bandwidth(pii, pjj, perm) <= 6
+    md = mindeg_ordering(50, pii, pjj)
+    assert sorted(md.tolist()) == list(range(50))
+
+
+BFWB62 = "/root/reference/russell_sparse/data/matrix_market/bfwb62.mtx"
+
+
+@pytest.mark.skipif(not os.path.exists(BFWB62), reason="reference data not mounted")
+def test_bfwb62_end_to_end():
+    """End-to-end slice #1 (SURVEY.md §7.3): read bfwb62, solve, verify.
+
+    The reference benchmark (solve_matrix_market.rs:217-230) checks
+    componentwise |dx| <= 1e-10 against a stored solution for rhs=ones.
+    We verify against a dense NumPy oracle at the same tolerance.
+    """
+    coo, _ = read_matrix_market(BFWB62, MMsym.LEAVE_AS_LOWER)
+    assert coo.sym == Sym.YES_LOWER
+    n = coo.nrow
+    assert n == 62
+    rhs = np.ones(n)
+    solver = LinSolver(Genie.AUTO)
+    solver.factorize(coo, LinSolParams(compute_determinant=True))
+    x = np.asarray(solver.solve(rhs))
+    x_oracle = np.linalg.solve(coo.as_dense(), rhs)
+    array_approx_eq(x, x_oracle, 1e-10)
+    v = VerifyLinSys.from_system(coo, x, rhs)
+    assert v.relative_error < 1e-10
+    # banded path must match too (it's a 62-dim banded matrix)
+    solver_b = LinSolver(Genie.BANDED)
+    solver_b.factorize(coo, LinSolParams(max_block=64))
+    xb = np.asarray(solver_b.solve(rhs))
+    array_approx_eq(xb, x_oracle, 1e-9)
+
+
+def test_stats_json():
+    coo, _, _, _ = samples.umfpack_unsymmetric_5x5()
+    solver = LinSolver()
+    solver.factorize(coo, LinSolParams(compute_determinant=True))
+    solver.solve(np.ones(5))
+    import json
+
+    st = json.loads(solver.stats.get_json())
+    assert st["matrix"]["nrow"] == 5
+    assert st["main"]["platform"] == "russell_tpu"
+    assert "factorize" in st["time_nanoseconds"]
+    assert "factorize" in st["time_human"]
