@@ -236,3 +236,33 @@ def bfwb62_path() -> str | None:
     """
     p = "/root/reference/russell_sparse/data/matrix_market/bfwb62.mtx"
     return p if os.path.exists(p) else None
+
+
+def laplacian_2d(npoint: int, kx: float = 1.0, ky: float = 1.0) -> CooMatrix:
+    """5-point negative Laplacian on an npoint x npoint unit-square grid.
+
+    The classic banded test operator (mirrors the FDM molecule of
+    russell_pde/src/fdm_2d.rs:900 and the Jacobian structure of the
+    brusselator PDE benchmark, russell_ode/src/samples.rs:497). Assembled
+    vectorized (no Python loops) for large npoint.
+    """
+    n = npoint * npoint
+    h = 1.0 / (npoint - 1) if npoint > 1 else 1.0
+    cx = kx / (h * h)
+    cy = ky / (h * h)
+    idx = np.arange(n, dtype=np.int64)
+    i = idx // npoint
+    j = idx % npoint
+    ii = [idx]
+    jj = [idx]
+    vv = [np.full(n, 2.0 * (cx + cy))]
+    west = j > 0
+    ii.append(idx[west]); jj.append(idx[west] - 1); vv.append(np.full(west.sum(), -cx))
+    east = j < npoint - 1
+    ii.append(idx[east]); jj.append(idx[east] + 1); vv.append(np.full(east.sum(), -cx))
+    south = i > 0
+    ii.append(idx[south]); jj.append(idx[south] - npoint); vv.append(np.full(south.sum(), -cy))
+    north = i < npoint - 1
+    ii.append(idx[north]); jj.append(idx[north] + npoint); vv.append(np.full(north.sum(), -cy))
+    return CooMatrix.from_arrays(
+        n, n, np.concatenate(ii), np.concatenate(jj), np.concatenate(vv))

@@ -1,0 +1,222 @@
+"""ODE solver tests against the reference's golden oracles.
+
+The key validation idea of the reference (SURVEY.md §4.3): exact
+comparison with Hairer's Fortran codes — both solution values AND exact
+solver-statistics counters (russell_ode/tests/test_radau5_van_der_pol.rs,
+test_dopri5_hairer_wanner_eq1.rs).
+"""
+
+import numpy as np
+import pytest
+
+from russell_tpu.ode import (Method, OdeSolver, Output, Params, StiffnessError,
+                             samples)
+
+
+def test_dopri5_hairer_wanner_eq1_matches_fortran():
+    # oracle: dopri5.f counters (test_dopri5_hairer_wanner_eq1.rs:44-52)
+    system, x0, y0, args, y_fn = samples.hairer_wanner_eq1()
+    params = Params(Method.DOPRI5)
+    params.step.h_ini = 1e-4
+    sol = OdeSolver(params, system)
+    out = Output().set_dense_h_out(0.1).set_dense_recording([0])
+    y = sol.solve(y0, x0, 1.5, args=args, output=out)
+    st = sol.stats()
+    assert abs(float(y[0]) - 9.063921649310544E-02) < 1e-13
+    assert abs(float(y[0]) - float(y_fn(1.5, None)[0])) < 4e-5
+    assert st.n_function == 235
+    assert st.n_steps == 39
+    assert st.n_accepted == 39
+    assert st.n_rejected == 0
+    assert len(out.dense_x()) == 16
+
+
+def test_radau5_hairer_wanner_eq1_matches_fortran():
+    # oracle: radau5.f (test_radau5_hairer_wanner_eq1.rs)
+    system, x0, y0, args, y_fn = samples.hairer_wanner_eq1()
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-4
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 1.5, args=args)
+    st = sol.stats()
+    assert abs(float(y[0]) - float(y_fn(1.5, None)[0])) < 5e-5
+    assert st.n_accepted > 0 and st.n_jacobian >= 1
+
+
+@pytest.mark.slow
+def test_radau5_van_der_pol_matches_fortran():
+    # THE parity oracle: all 9 counters of radau5.f must match exactly
+    # (test_radau5_van_der_pol.rs:28-56)
+    system, x0, y0, x1, args = samples.van_der_pol(1e-6, False)
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-6
+    sol = OdeSolver(params, system)
+    out = Output().set_dense_h_out(0.2).set_dense_recording([0, 1])
+    y = sol.solve(y0, x0, x1, args=args, output=out)
+    st = sol.stats()
+    assert abs(float(y[0]) - 1.706163410178079E+00) < 1e-12
+    assert abs(float(y[1]) - (-8.927971289301175E-01)) < 1e-11
+    assert abs(st.h_accepted - 1.510987221365367E-01) < 1e-6
+    assert st.n_function == 2249
+    assert st.n_jacobian == 162
+    assert st.n_factor == 253
+    assert st.n_lin_sol == 668
+    assert st.n_steps == 280
+    assert st.n_accepted == 242
+    assert st.n_rejected == 8
+    assert st.n_iterations == 2
+    assert st.n_iterations_max == 6
+
+
+def test_erk_methods_on_kreyszig():
+    # all ERK tableaux integrate y' = x + y (Kreyszig Eq.6 p.902)
+    for method in Method.erk_methods():
+        system, x0, y0, args, y_fn = samples.kreyszig_eq6_page902()
+        sol = OdeSolver(Params(method), system)
+        y = sol.solve(y0, x0, 1.0, h_equal=0.01, args=args)
+        tol = 3e-4 if method.information().order <= 2 else 1e-6
+        assert abs(float(y[0]) - float(y_fn(1.0, None)[0])) < tol, method
+
+
+def test_fweuler_and_bweuler():
+    system, x0, y0, args, y_fn = samples.kreyszig_eq6_page902()
+    for method in (Method.FW_EULER, Method.BW_EULER):
+        sol = OdeSolver(Params(method), system)
+        y = sol.solve(y0, x0, 1.0, h_equal=0.001, args=args)
+        assert abs(float(y[0]) - float(y_fn(1.0, None)[0])) < 2e-3, method
+
+
+def test_radau5_mass_matrix_dae():
+    # simple_system_with_mass_matrix: y_ana = (cos x, -sin x, ln(1+x))
+    system, x0, y0, args, y_fn = samples.simple_system_with_mass_matrix()
+    sol = OdeSolver(Params(Method.RADAU5), system)
+    y = sol.solve(y0, x0, 20.0, args=args)
+    np.testing.assert_allclose(np.asarray(y), y_fn(20.0, None), atol=1e-3)
+
+
+def test_radau5_amplifier1t_dae():
+    # one-transistor amplifier (singular mass); oracle values from
+    # test_radau5_amplifier1t.rs (radau5.f log)
+    system, x0, y0, args = samples.amplifier1t()
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-6
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 0.05, args=args)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_brusselator_ode_radau5():
+    system, x0, y0, args, y_ref = samples.brusselator_ode()
+    params = Params(Method.RADAU5)
+    params.set_tolerances(1e-8, 1e-8)
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 20.0, args=args)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-5)
+
+
+def test_brusselator_ode_dopri8():
+    system, x0, y0, args, y_ref = samples.brusselator_ode()
+    params = Params(Method.DOPRI8)
+    params.set_tolerances(1e-8, 1e-8)
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 20.0, args=args)
+    np.testing.assert_allclose(np.asarray(y), y_ref, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_brusselator_pde_radau5_small():
+    # tiny 2-D brusselator PDE (npoint=5, ndim=50) through the banded LU
+    system, t0, yy0, args = samples.brusselator_pde(2e-3, 5)
+    params = Params(Method.RADAU5)
+    params.set_tolerances(1e-4, 1e-4)
+    sol = OdeSolver(params, system)
+    y = sol.solve(yy0, t0, 1.0, args=args)
+    assert np.all(np.isfinite(np.asarray(y)))
+    st = sol.stats()
+    assert st.n_accepted > 0 and st.n_factor > 0
+
+
+def test_dense_output_dopri5():
+    system, x0, y0, args, y_fn = samples.kreyszig_eq6_page902()
+    sol = OdeSolver(Params(Method.DOPRI5), system)
+    out = Output().set_dense_h_out(0.1).set_dense_recording([0])
+    sol.solve(y0, x0, 1.0, args=args, output=out)
+    xs = out.dense_x()
+    ys = out.dense_y(0)
+    for x, yv in zip(xs, ys):
+        assert abs(yv - float(y_fn(x, None)[0])) < 1e-5
+
+
+def test_radau5_dense_output():
+    system, x0, y0, args, y_fn = samples.hairer_wanner_eq1()
+    sol = OdeSolver(Params(Method.RADAU5), system)
+    out = Output().set_dense_h_out(0.25).set_dense_recording([0])
+    sol.solve(y0, x0, 1.5, args=args, output=out)
+    for x, yv in zip(out.dense_x()[1:], out.dense_y(0)[1:]):
+        assert abs(yv - float(y_fn(x, None)[0])) < 1e-3
+
+
+def test_step_output_and_callback_stop():
+    system, x0, y0, args, y_fn = samples.kreyszig_eq6_page902()
+    sol = OdeSolver(Params(Method.DOPRI5), system)
+    out = Output().set_step_recording([0]).set_yx_correct(y_fn)
+    sol.solve(y0, x0, 1.0, args=args, output=out)
+    assert len(out.step_x) > 2
+    assert max(out.step_global_error) < 1e-4
+
+    # graceful stop via callback
+    calls = []
+
+    def cb(stats, h, x, y, args):
+        calls.append(x)
+        return x > 0.5
+
+    sol2 = OdeSolver(Params(Method.DOPRI5), system)
+    out2 = Output().set_step_callback(cb)
+    sol2.solve(y0, x0, 1.0, args=args, output=out2)
+    assert calls[-1] > 0.5 and calls[-1] < 1.0
+
+
+def test_equal_stepping_counts():
+    system, x0, y0, args, y_fn = samples.kreyszig_eq6_page902()
+    sol = OdeSolver(Params(Method.RK4), system)
+    y = sol.solve(y0, x0, 1.0, h_equal=0.2, args=args)
+    st = sol.stats()
+    assert st.n_steps == 5
+    assert st.n_accepted == 5
+    # Kreyszig Table 21.4 p.904: RK4 with h=0.2 reaches ~0.718251
+    assert abs(float(y[0]) - 0.718251) < 1e-6
+
+
+def test_numerical_jacobian_radau5():
+    system, x0, y0, x1, args = samples.van_der_pol(1e-3, False)
+    params = Params(Method.RADAU5)
+    params.newton.use_numerical_jacobian = True
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 0.2, args=args)
+    # compare against analytical-jacobian run
+    sol2 = OdeSolver(Params(Method.RADAU5), system)
+    y2 = sol2.solve(y0, x0, 0.2, args=args)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-6)
+
+
+def test_autodiff_jacobian_radau5():
+    # no analytical jacobian provided -> jax.jacfwd path
+    import jax.numpy as jnp
+    from russell_tpu.ode import System
+    system = System(2, lambda x, y, args: jnp.stack(
+        [y[1], (1.0 - y[0] * y[0]) * y[1] - y[0]]))
+    sol = OdeSolver(Params(Method.RADAU5), system)
+    y = sol.solve(np.array([2.0, 0.0]), 0.0, 1.0, args=None)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_stiffness_detection_dopri5():
+    # van der Pol eps=0.003 becomes stiff for DoPri5 (test_dopri5_van_der_pol_debug)
+    system, x0, y0, x1, args = samples.van_der_pol(0.003, False)
+    params = Params(Method.DOPRI5)
+    params.set_tolerances(1e-5, 1e-5)
+    params.stiffness.enabled = True
+    sol = OdeSolver(params, system)
+    with pytest.raises(StiffnessError):
+        sol.solve(y0, x0, 2.0, args=args)
