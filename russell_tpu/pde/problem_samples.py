@@ -1,0 +1,129 @@
+"""Analytic-solution test problems (reference:
+russell_pde/src/problem_samples.rs — the test_{1d,2d}_prob* oracles)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from russell_tpu.pde.bcs import (EssentialBcs1d, EssentialBcs2d,
+                                 NaturalBcs1d, NaturalBcs2d)
+from russell_tpu.pde.enums import Side
+
+__all__ = ["d1_problem_01", "d1_problem_02", "d2_problem_01",
+           "d2_problem_02", "d2_problem_03"]
+
+PI = math.pi
+
+
+def d1_problem_01():
+    """-phi'' = x on [0,1], homogeneous Dirichlet; phi = (x - x^3)/6
+    (problem_samples.rs:38)."""
+    xmin, xmax, kx = 0.0, 1.0, 1.0
+    ebcs = EssentialBcs1d().set_homogeneous()
+    nbcs = NaturalBcs1d()
+    source = lambda x: x
+    analytical = lambda x: (x - x ** 3) / 6.0
+    ana_flow = lambda x: -kx * (1.0 - 3.0 * x * x) / 6.0
+    return xmin, xmax, kx, ebcs, nbcs, source, analytical, ana_flow
+
+
+def d1_problem_02():
+    """Heat rod: -k phi'' + alpha phi = alpha*20 on [0, 0.05], Dirichlet
+    320 at left, insulated (zero-flux) right (problem_samples.rs:120)."""
+    xmin, xmax = 0.0, 0.05
+    kx = 0.01571
+    alpha = 2.0 * PI
+    t_env = 20.0
+    t_left = 320.0
+    ebcs = EssentialBcs1d()
+    ebcs.set(Side.XMIN, lambda x: t_left)
+    nbcs = NaturalBcs1d()
+    nbcs.set(Side.XMAX, lambda x: 0.0)
+    source = lambda x: alpha * t_env
+    mu = math.sqrt(alpha / kx)
+    L = xmax - xmin
+
+    def analytical(x):
+        return t_env + (t_left - t_env) * (
+            math.cosh(mu * (L - x)) / math.cosh(mu * L))
+
+    return xmin, xmax, kx, alpha, ebcs, nbcs, source, analytical
+
+
+def d2_problem_01(case_a: bool = True):
+    """Poisson with phi = x y (x-1)(y-1) e^(x-y) on the unit square
+    (problem_samples.rs:469)."""
+    xmin, xmax, ymin, ymax = 0.0, 1.0, 0.0, 1.0
+    kx = ky = 1.0
+    ebcs = EssentialBcs2d()
+    nbcs = NaturalBcs2d()
+    if case_a:
+        ebcs.set_homogeneous()
+    else:
+        nbcs.set(Side.XMIN,
+                 lambda x, y: -kx * math.exp(-y) * (y - 1.0) * y)
+        nbcs.set(Side.YMIN,
+                 lambda x, y: -ky * math.exp(x) * (x - 1.0) * x)
+        ebcs.set(Side.XMAX, lambda x, y: 0.0)
+        ebcs.set(Side.YMAX, lambda x, y: 0.0)
+    source = lambda x, y: (2.0 * x * (1.0 - y) * (y - 2.0 * x + x * y + 2.0)
+                           * math.exp(x - y))
+    analytical = lambda x, y: x * y * (x - 1.0) * (y - 1.0) * math.exp(x - y)
+
+    def ana_flow(x, y):
+        return (-kx * math.exp(x - y) * (x * x + x - 1.0) * (y - 1.0) * y,
+                -ky * math.exp(x - y) * (y * y - 3.0 * y + 1.0)
+                * (1.0 - x) * x)
+
+    return (xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical,
+            ana_flow)
+
+
+def d2_problem_02():
+    """Laplace-type with phi = y sin(pi x) (problem_samples.rs:547).
+
+    Note kx = ky = -1 as in the reference (the operator reads
+    +d2/dx2 + d2/dy2 = s)."""
+    xmin, xmax, ymin, ymax = 0.0, 1.0, 0.0, 1.0
+    kx = ky = -1.0
+    ebcs = EssentialBcs2d()
+    ebcs.set(Side.XMIN, lambda x, y: 0.0)
+    ebcs.set(Side.XMAX, lambda x, y: 0.0)
+    ebcs.set(Side.YMIN, lambda x, y: 0.0)
+    ebcs.set(Side.YMAX, lambda x, y: math.sin(PI * x))
+    nbcs = NaturalBcs2d()
+    source = lambda x, y: -PI * PI * y * math.sin(PI * x)
+    analytical = lambda x, y: y * math.sin(PI * x)
+    return xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical
+
+
+def d2_problem_03(k: float = 1.0, alpha: float = 0.0,
+                  bc_combo: str = "DDDD"):
+    """-k lap(phi) + alpha phi = s with phi = sin(2 pi x) cos(2 pi y)
+    and mixed Dirichlet/Neumann combos (problem_samples.rs:618)."""
+    xmin, xmax, ymin, ymax = 0.0, 1.0, 0.0, 1.0
+    ebcs = EssentialBcs2d()
+    nbcs = NaturalBcs2d()
+    analytical = lambda x, y: math.sin(2 * PI * x) * math.cos(2 * PI * y)
+    # flux on a side: wn = -k dphi/dn
+    dphi_dx = lambda x, y: 2 * PI * math.cos(2 * PI * x) * math.cos(2 * PI * y)
+    dphi_dy = lambda x, y: -2 * PI * math.sin(2 * PI * x) * math.sin(2 * PI * y)
+    flux = {
+        Side.XMIN: lambda x, y: -k * (-dphi_dx(x, y)),
+        Side.XMAX: lambda x, y: -k * dphi_dx(x, y),
+        Side.YMIN: lambda x, y: -k * (-dphi_dy(x, y)),
+        Side.YMAX: lambda x, y: -k * dphi_dy(x, y),
+    }
+    # bc_combo order: Xmax, Ymax, Xmin, Ymin (problem_samples.rs doc)
+    order = [Side.XMAX, Side.YMAX, Side.XMIN, Side.YMIN]
+    if len(bc_combo) != 4 or any(c not in "DN" for c in bc_combo):
+        raise ValueError("bc_combo must be 4 chars of D/N")
+    for c, side in zip(bc_combo, order):
+        if c == "D":
+            ebcs.set(side, lambda x, y, a=analytical: a(x, y))
+        else:
+            nbcs.set(side, flux[side])
+    source = lambda x, y: (8.0 * k * PI * PI + alpha) * analytical(x, y)
+    return xmin, xmax, ymin, ymax, k, k, ebcs, nbcs, source, analytical
