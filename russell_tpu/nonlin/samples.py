@@ -1,0 +1,91 @@
+"""Continuation test problems (reference: russell_nonlin/src/samples.rs)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from russell_tpu.nonlin.system import System
+
+__all__ = ["simple_linear_problem", "two_eq_ref", "one_eq_with_fold_point",
+           "circle_ul", "two_eq_nr_prob_1"]
+
+
+def simple_linear_problem():
+    """G = [2u0 + u1 - 2, u0 + 3u1 - 3]; solution independent of lambda
+    (samples.rs:28)."""
+    def gg(l, u, args):
+        return jnp.stack([2.0 * u[0] + u[1] - 2.0, u[0] + 3.0 * u[1] - 3.0])
+
+    def jac(l, u, args):
+        z = jnp.zeros((), dtype=u.dtype)
+        return (jnp.stack([2.0 + z, 1.0 + z, 1.0 + z, 3.0 + z]),
+                jnp.zeros(2, dtype=u.dtype))
+
+    system = System(2, gg, jac, structure=([0, 0, 1, 1], [0, 1, 0, 1]))
+    u = np.array([0.0, 0.0])
+    u_ref = np.array([0.6, 0.8])
+    return system, u, 0.0, u_ref
+
+
+def two_eq_ref():
+    """G = [u0^3 + u1 - 1, -u0 + u1^3 + 1] -> (1, 0) (samples.rs:147)."""
+    def gg(l, u, args):
+        return jnp.stack([u[0] ** 3 + u[1] - 1.0, -u[0] + u[1] ** 3 + 1.0])
+
+    def jac(l, u, args):
+        one = jnp.ones((), dtype=u.dtype)
+        return (jnp.stack([3.0 * u[0] ** 2, one, -one, 3.0 * u[1] ** 2]),
+                jnp.zeros(2, dtype=u.dtype))
+
+    system = System(2, gg, jac, structure=([0, 0, 1, 1], [0, 1, 0, 1]))
+    u = np.array([0.5, 0.5])
+    u_ref = np.array([1.0, 0.0])
+    return system, u, u_ref
+
+
+def two_eq_nr_prob_1():
+    """Singular-Jacobian-at-solution problem (samples.rs:187)."""
+    def gg(l, u, args):
+        return jnp.stack([u[0] ** 2 + u[1] ** 2, u[0] ** 2 - u[1] ** 2])
+
+    def jac(l, u, args):
+        return (jnp.stack([2.0 * u[0], 2.0 * u[1], 2.0 * u[0],
+                           -2.0 * u[1]]),
+                jnp.zeros(2, dtype=u.dtype))
+
+    system = System(2, gg, jac, structure=([0, 0, 1, 1], [0, 1, 0, 1]))
+    u = np.array([0.0, 1e-5])
+    u_ref = np.array([0.0, 0.0])
+    return system, u, u_ref
+
+
+def one_eq_with_fold_point():
+    """G = u - lambda exp(u); fold at lambda = 1/e
+    (samples.rs:273; Bank & Mittelmann 1990)."""
+    def gg(l, u, args):
+        return u - l * jnp.exp(u)
+
+    def jac(l, u, args):
+        return (jnp.reshape(1.0 - l * jnp.exp(u[0]), (1,)),
+                -jnp.exp(u))
+
+    system = System(1, gg, jac, structure=([0], [0]))
+    lambda_ana = lambda uu: math.exp(-uu) * uu
+    return system, np.array([0.0]), 0.0, lambda_ana
+
+
+def circle_ul(radius: float = 1.0):
+    """G = u^2 + lambda^2 - R^2: the unit-circle branch (samples.rs:408)."""
+    def gg(l, u, args):
+        return u * u + l * l - radius * radius
+
+    def jac(l, u, args):
+        return 2.0 * u, jnp.full(1, 2.0 * l)
+
+    system = System(1, gg, jac, structure=([0], [0]))
+    u0 = np.array([radius / math.sqrt(2.0)])
+    l0 = radius / math.sqrt(2.0)
+    return system, u0, l0

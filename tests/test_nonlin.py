@@ -1,0 +1,126 @@
+"""Continuation tests (mirrors russell_nonlin's test strategy: circle,
+fold-point, and Newton-only problems; tests/test_arc_*.rs)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from russell_tpu.nonlin import (Config, DeltaLambda, IniDir, Method, Output,
+                                Solver, Status, Stop, samples)
+
+
+def test_newton_only_two_eq_ref():
+    # natural method with zero lambda steps == plain Newton solve
+    system, u0, u_ref = samples.two_eq_ref()
+    system.check_ggu(0.0, u0, tol=1e-12)
+    config = Config(method=Method.NATURAL, euler_predictor=False)
+    solver = Solver(config, system)
+    u, l, status = solver.solve(u0, 0.0, IniDir.POS, Stop.steps(1),
+                                DeltaLambda.constant(1.0))
+    assert status.success()
+    np.testing.assert_allclose(u, u_ref, atol=1e-6)
+
+
+def test_natural_continuation_fold_problem():
+    # follow lambda = u exp(-u) upward before the fold at lambda = 1/e
+    system, u0, l0, lam_ana = samples.one_eq_with_fold_point()
+    config = Config(method=Method.NATURAL)
+    solver = Solver(config, system)
+    u, l, status = solver.solve(u0, l0, IniDir.POS, Stop.max_lambda(0.3),
+                                DeltaLambda.constant(0.02))
+    assert status.success()
+    assert l == pytest.approx(0.3, abs=1e-9)
+    assert lam_ana(float(u[0])) == pytest.approx(l, abs=1e-8)
+
+
+def test_arclength_circle():
+    # traverse the circle u^2 + l^2 = 1 through BOTH folds
+    system, u0, l0 = samples.circle_ul(1.0)
+    config = Config(method=Method.ARCLENGTH)
+    solver = Solver(config, system)
+    out = Output().set_recording([0])
+    u, l, status = solver.solve(u0, l0, IniDir.NEG, Stop.steps(200),
+                                DeltaLambda.constant(0.05), output=out)
+    assert status.success()
+    # every visited point stays on the circle
+    for ui, li in zip(out.step_u(0), out.step_l):
+        assert ui * ui + li * li == pytest.approx(1.0, abs=1e-8)
+    # the path crossed lambda = -1 region (passed the fold)
+    assert min(out.step_l) < -0.5
+
+
+def test_arclength_past_fold_point():
+    # the Bank-Mittelmann fold at (u, l) = (1, 1/e): arclength passes it
+    system, u0, l0, lam_ana = samples.one_eq_with_fold_point()
+    config = Config(method=Method.ARCLENGTH)
+    solver = Solver(config, system)
+    out = Output().set_recording([0])
+    u, l, status = solver.solve(u0, l0, IniDir.POS, Stop.max_comp_u(0, 2.5),
+                                DeltaLambda.constant(0.05), output=out)
+    assert status.success()
+    assert float(u[0]) > 2.0  # beyond the fold at u = 1
+    # all points satisfy lambda = u exp(-u)
+    for ui, li in zip(out.step_u(0), out.step_l):
+        assert lam_ana(ui) == pytest.approx(li, abs=1e-7)
+
+
+def test_arclength_adaptive():
+    system, u0, l0 = samples.circle_ul(1.0)
+    config = Config(method=Method.ARCLENGTH)
+    solver = Solver(config, system)
+    out = Output().set_recording([0])
+    u, l, status = solver.solve(u0, l0, IniDir.NEG, Stop.steps(100),
+                                DeltaLambda.auto(0.05), output=out)
+    assert status.success()
+    st = solver.stats()
+    assert st.n_accepted > 10
+    for ui, li in zip(out.step_u(0), out.step_l):
+        assert ui * ui + li * li == pytest.approx(1.0, abs=1e-6)
+
+
+def test_natural_targeting_lambda_exact():
+    system, u0, l0, lam_ana = samples.one_eq_with_fold_point()
+    solver = Solver(Config(method=Method.NATURAL), system)
+    u, l, status = solver.solve(u0, l0, IniDir.POS, Stop.max_lambda(0.25),
+                                DeltaLambda.constant(0.04))
+    assert status.success()
+    assert l == pytest.approx(0.25, abs=1e-12)
+
+
+def test_delta_lambda_list():
+    system, u0, l0, lam_ana = samples.one_eq_with_fold_point()
+    solver = Solver(Config(method=Method.NATURAL), system)
+    out = Output().set_recording([0])
+    u, l, status = solver.solve(u0, l0, IniDir.POS, Stop.steps(3),
+                                DeltaLambda.from_list([0.1, 0.05, 0.02]),
+                                output=out)
+    assert status.success()
+    np.testing.assert_allclose(out.step_l, [0.0, 0.1, 0.15, 0.17], atol=1e-12)
+
+
+def test_autodiff_jacobian_system():
+    # no analytical jacobian: autodiff path
+    import jax.numpy as jnp
+    from russell_tpu.nonlin import System
+    system = System(2, lambda l, u, args: jnp.stack(
+        [u[0] ** 3 + u[1] - 1.0, -u[0] + u[1] ** 3 + 1.0]))
+    solver = Solver(Config(method=Method.NATURAL, euler_predictor=False),
+                    system)
+    u, l, status = solver.solve(np.array([0.5, 0.5]), 0.0, IniDir.POS,
+                                Stop.steps(1), DeltaLambda.constant(1.0))
+    assert status.success()
+    np.testing.assert_allclose(u, [1.0, 0.0], atol=1e-6)
+
+
+def test_stats_counters():
+    system, u0, u_ref = samples.two_eq_ref()
+    solver = Solver(Config(method=Method.NATURAL, euler_predictor=False),
+                    system)
+    solver.solve(u0, 0.0, IniDir.POS, Stop.steps(1),
+                 DeltaLambda.constant(1.0))
+    st = solver.stats()
+    assert st.n_function > 0 and st.n_jacobian > 0
+    assert st.n_factor == st.n_jacobian
+    assert st.n_steps == 1 and st.n_accepted == 1
+    assert "function evaluations" in st.summary()
