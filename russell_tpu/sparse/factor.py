@@ -39,6 +39,7 @@ from jax import lax
 
 from russell_tpu.sparse.enums import Genie, Ordering, Scaling
 from russell_tpu.sparse.ordering import bandwidth, rcm_ordering
+from russell_tpu.sparse import splu as _splu
 
 __all__ = ["SolvePlan", "analyze", "numeric_factorize", "factor_solve"]
 
@@ -63,6 +64,8 @@ class SolvePlan:
     nb: int = 0                             # number of blocks
     flat_idx: Optional[np.ndarray] = None   # scatter target per entry
     pad_idx: Optional[np.ndarray] = None    # identity positions for padding
+    # SPLU:
+    splu_plan: Optional["_splu.SpluPlan"] = None
     # options
     scaling: Scaling = Scaling.MAX
     pivot_epsilon: float = 1e-14
@@ -98,7 +101,11 @@ def analyze(
         if n <= dense_threshold:
             genie = Genie.DENSE
         else:
-            genie = Genie.BANDED
+            # prefer BANDED when the RCM bandwidth is small; else SPLU
+            perm_try = rcm_ordering(n, rows, cols)
+            bw_try = min(bandwidth(rows, cols), bandwidth(rows, cols,
+                                                          perm_try))
+            genie = Genie.BANDED if bw_try <= max_block else Genie.SPLU
 
     if genie == Genie.DENSE:
         return SolvePlan(Genie.DENSE, n, rows, cols,
@@ -158,6 +165,17 @@ def analyze(
                          scaling=Scaling.MAX if scaling == Scaling.AUTO else scaling,
                          pivot_epsilon=pivot_epsilon, refine_steps=refine_steps,
                          effective_ordering=eff)
+
+    if genie == Genie.SPLU:
+        use_amd = ordering in (Ordering.AUTO, Ordering.AMD, Ordering.METIS)
+        plan = _splu.splu_analyze(n, rows, cols, use_amd=use_amd,
+                                  pivot_epsilon=pivot_epsilon)
+        return SolvePlan(Genie.SPLU, n, rows, cols, splu_plan=plan,
+                         scaling=Scaling.MAX if scaling == Scaling.AUTO
+                         else scaling,
+                         pivot_epsilon=pivot_epsilon,
+                         refine_steps=max(refine_steps, 2),
+                         effective_ordering="amd" if use_amd else "natural")
 
     raise ValueError(f"genie {genie} is not available in analyze()")
 
@@ -343,12 +361,24 @@ def numeric_factorize(plan: SolvePlan, data):
         return _dense_factorize(plan, data)
     if plan.genie == Genie.BANDED:
         return _banded_factorize(plan, data)
+    if plan.genie == Genie.SPLU:
+        data, rs, cs = _equilibrate(plan, data)
+        fac = _splu.splu_factorize(plan.splu_plan, data)
+        fac["rs"] = rs
+        fac["cs"] = cs
+        fac["data"] = data
+        return fac
     raise ValueError(f"unsupported genie {plan.genie}")
 
 
 def _solve_once(plan: SolvePlan, fac, b):
     if plan.genie == Genie.DENSE:
         return _dense_solve(plan, fac, b)
+    if plan.genie == Genie.SPLU:
+        dtype = fac["blocks"].dtype
+        y = fac["rs"].astype(dtype) * jnp.asarray(b).astype(dtype)
+        x = _splu.splu_solve(plan.splu_plan, fac, y)
+        return fac["cs"].astype(dtype) * x
     return _banded_solve(plan, fac, b)
 
 
