@@ -37,7 +37,7 @@ def main() -> None:
 
     solver = OdeSolver(params, system)
     t_start = time.perf_counter()
-    y = solver.solve(yy0, t0, tf, args=args)
+    y = solver.solve(yy0, t0, tf, args=None, fused=True)
     jax.block_until_ready(y)
     wall = time.perf_counter() - t_start
     st = solver.stats()

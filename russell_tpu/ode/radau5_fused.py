@@ -1,0 +1,433 @@
+"""Fully-fused Radau5 variable-step solver: ONE device computation for the
+whole integration.
+
+The host-controlled stepper (radau5.py) is bit-faithful to radau5.f but
+pays one device round trip per kernel call — fatal when the chip is remote
+(SURVEY.md P5 analog: the reference pays FFI calls, we pay dispatches).
+This module traces the ENTIRE variable-step loop of ode_solver.rs:278-366
+plus Radau5::step/accept/reject into a single ``lax.while_loop``:
+stepsize controller, simplified-Newton iteration with divergence
+prediction, Gustafsson predictive controller, Jacobian/factorization reuse
+policy, and the statistics counters — all as traced state. The returned
+counters follow the same update rules as the host path (validated against
+it in tests/test_ode.py).
+
+No dense output / callbacks here; use the host path when an Output is
+attached.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from russell_tpu.ode.constants import radau5_constants
+
+__all__ = ["build_fused_solver"]
+
+_R5 = radau5_constants()
+EPS = 2.220446049250313e-16
+
+
+def build_fused_solver(stepper, params):
+    """Returns a jitted ``solve(x0, y0, x1, h0) -> (y, stats_dict)`` closed
+    over a Radau5 stepper's kernels (structure-frozen plan)."""
+    system = stepper.system
+    plan = stepper.plan
+    ndim = system.ndim
+    f = system.function
+    jac_fn = stepper._jac_fn
+    has_mass = stepper._has_mass
+    mass_vv = jnp.asarray(stepper._mass_vv)
+    mass_ii = jnp.asarray(stepper._mass_ii)
+    mass_jj = jnp.asarray(stepper._mass_jj)
+    numerical = stepper._numerical
+
+    from russell_tpu.sparse import factor as _factor
+
+    A, B, G = _R5["ALPHA"], _R5["BETA"], _R5["GAMMA"]
+    T, TI, C = _R5["T"], _R5["TI"], _R5["C"]
+    E0, E1, E2 = _R5["E0"], _R5["E1"], _R5["E2"]
+    MU1, MU2, MU3 = _R5["MU1"], _R5["MU2"], _R5["MU3"]
+    MU4, MU5 = _R5["MU4"], _R5["MU5"]
+
+    abs_tol = params.tol.abs
+    rel_tol = params.tol.rel
+    tol_newton = params.tol.newton
+    nit = params.newton.n_iteration_max
+    m_min, m_max = params.step.m_min, params.step.m_max
+    m_safety = params.step.m_safety
+    m_first_reject = params.step.m_first_reject
+    rel_error_prev_min = params.step.rel_error_prev_min
+    n_step_max = params.step.n_step_max
+    theta_max = params.radau5.theta_max
+    c1h, c2h = params.radau5.c1h, params.radau5.c2h
+    use_pred = params.radau5.use_pred_control
+    zero_trial = params.radau5.zero_trial
+    jac_extra = ndim if numerical else 0
+
+    def mass_mat_vec(w):
+        return jax.ops.segment_sum(mass_vv * w[mass_jj], mass_ii,
+                                   num_segments=ndim)
+
+    def factorize(jv, h, dtype):
+        alpha, beta, gamma = A / h, B / h, G / h
+        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        data_r = jnp.concatenate([-jv, gamma * mass_vv.astype(dtype)])
+        data_c = jnp.concatenate([
+            -jv.astype(cdtype),
+            (alpha + 1j * beta) * mass_vv.astype(cdtype)])
+        return (_factor.numeric_factorize(plan, data_r),
+                _factor.numeric_factorize(plan, data_c))
+
+    def newton_once(x, y, h, w, z, fac_r, fac_c, scaling):
+        alpha, beta, gamma = A / h, B / h, G / h
+        u = x + jnp.asarray(C, dtype=y.dtype) * h
+        k0 = f(u[0], y + z[0], None)
+        k1 = f(u[1], y + z[1], None)
+        k2 = f(u[2], y + z[2], None)
+        if has_mass:
+            l0, l1, l2 = (mass_mat_vec(w[0]), mass_mat_vec(w[1]),
+                          mass_mat_vec(w[2]))
+        else:
+            l0, l1, l2 = w[0], w[1], w[2]
+        r0 = TI[0, 0] * k0 + TI[0, 1] * k1 + TI[0, 2] * k2 - gamma * l0
+        r1 = (TI[1, 0] * k0 + TI[1, 1] * k1 + TI[1, 2] * k2
+              - alpha * l1 + beta * l2)
+        r2 = (TI[2, 0] * k0 + TI[2, 1] * k1 + TI[2, 2] * k2
+              - beta * l1 - alpha * l2)
+        dw0 = _factor.factor_solve(plan, fac_r, r0)
+        dw12 = _factor.factor_solve(plan, fac_c, r1 + 1j * r2)
+        w0 = w[0] + dw0
+        w1 = w[1] + jnp.real(dw12)
+        w2 = w[2] + jnp.imag(dw12)
+        wn = jnp.stack([w0, w1, w2])
+        zn = jnp.stack([
+            T[0, 0] * w0 + T[0, 1] * w1 + T[0, 2] * w2,
+            T[1, 0] * w0 + T[1, 1] * w1 + T[1, 2] * w2,
+            T[2, 0] * w0 + T[2, 1] * w1 + T[2, 2] * w2])
+        ldw = jnp.sqrt((jnp.sum((dw0 / scaling) ** 2)
+                        + jnp.sum((jnp.real(dw12) / scaling) ** 2)
+                        + jnp.sum((jnp.imag(dw12) / scaling) ** 2))
+                       / (3.0 * ndim))
+        return wn, zn, ldw
+
+    def newton_loop(x, y, h, w, z, fac_r, fac_c, scaling, eta0):
+        """Simplified-Newton iteration (radau5.f 914-975) as a while_loop."""
+        def cond(st):
+            return (~st["done"]) & (st["newt"] < nit)
+
+        def body(st):
+            newt = st["newt"] + 1
+            w, z, ldw = newton_once(x, y, h, st["w"], st["z"], fac_r, fac_c,
+                                    scaling)
+            st = {**st, "w": w, "z": z, "newt": newt,
+                  "nfcn": st["nfcn"] + 3, "nsol": st["nsol"] + 1}
+            is_later = (newt > 1) & (newt < nit)
+            thq = ldw / jnp.maximum(st["ldw_old"], 1e-300)
+            theta_new = jnp.where(newt == 2, thq,
+                                  jnp.sqrt(thq * st["thq_old"]))
+            theta = jnp.where(is_later, theta_new, st["theta"])
+            thq_old = jnp.where(is_later, thq, st["thq_old"])
+            ok_theta = theta < 0.99
+            eta = jnp.where(is_later & ok_theta, theta / (1.0 - theta),
+                            st["eta"])
+            expo = jnp.asarray(nit - 1, dtype=ldw.dtype) - newt
+            rel_err = eta * ldw * theta ** expo / tol_newton
+            q_newt = jnp.clip(rel_err, 1e-4, 20.0)
+            den = 4.0 + (nit - 1) - newt
+            h_mult_div = 0.8 * q_newt ** (-1.0 / den)
+            diverging = is_later & ((ok_theta & (rel_err >= 1.0))
+                                    | (~ok_theta))
+            h_mult = jnp.where(is_later & ~ok_theta, 0.5,
+                               jnp.where(diverging, h_mult_div,
+                                         st["h_mult"]))
+            converged = eta * ldw < tol_newton
+            done = diverging | converged
+            return {**st, "theta": theta, "thq_old": thq_old, "eta": eta,
+                    "ldw_old": ldw, "h_mult": h_mult,
+                    "diverging": diverging, "converged": converged,
+                    "done": done}
+
+        dtype = y.dtype
+        st0 = {"w": w, "z": z, "newt": jnp.zeros((), jnp.int32),
+               "theta": jnp.asarray(theta_max, dtype),
+               "eta": jnp.maximum(eta0, EPS) ** 0.8,
+               "ldw_old": jnp.zeros((), dtype),
+               "thq_old": jnp.zeros((), dtype),
+               "h_mult": jnp.ones((), dtype),
+               "diverging": jnp.zeros((), jnp.bool_),
+               "converged": jnp.zeros((), jnp.bool_),
+               "done": jnp.zeros((), jnp.bool_),
+               "nfcn": jnp.zeros((), jnp.int32),
+               "nsol": jnp.zeros((), jnp.int32)}
+        return lax.while_loop(cond, body, st0)
+
+    def err_estimate(z, k_acc, h, fac_r, scaling, x, y, first_or_reject,
+                     nfcn):
+        gamma = G / h
+        ez = E0 * z[0] + E1 * z[1] + E2 * z[2]
+        mez = gamma * (mass_mat_vec(ez) if has_mass else ez)
+        err = _factor.factor_solve(plan, fac_r, mez + k_acc)
+        rel = jnp.maximum(1e-10,
+                          jnp.sqrt(jnp.sum((err / scaling) ** 2) / ndim))
+
+        def second(_):
+            fpe = f(x, y + err, None)
+            err2 = _factor.factor_solve(plan, fac_r, mez + fpe)
+            rel2 = jnp.maximum(
+                1e-10, jnp.sqrt(jnp.sum((err2 / scaling) ** 2) / ndim))
+            return rel2, nfcn + 1
+
+        redo = (rel >= 1.0) & first_or_reject
+        rel, nfcn = lax.cond(redo, second, lambda _: (rel, nfcn), None)
+        return rel, nfcn
+
+    def solve(x0, y0, x1, h0):
+        dtype = jnp.asarray(y0).dtype
+        y0 = jnp.asarray(y0, dtype=dtype)
+        x0 = jnp.asarray(x0, dtype=dtype)
+        x1 = jnp.asarray(x1, dtype=dtype)
+        h0 = jnp.asarray(h0, dtype=dtype)
+
+        jv0 = jac_fn(x0, y0, None)
+        fac_r0, fac_c0 = factorize(jv0, h0, dtype)
+
+        zero3 = jnp.zeros((3, ndim), dtype=dtype)
+        state = {
+            "x": x0, "y": y0, "h_new": h0, "h_prev": h0,
+            "rel_error": jnp.zeros((), dtype),
+            "rel_error_prev": jnp.asarray(rel_error_prev_min, dtype),
+            "follows_reject": jnp.zeros((), jnp.bool_),
+            "last_step": jnp.zeros((), jnp.bool_),
+            "eta": jnp.ones((), dtype),
+            "jac_computed": jnp.zeros((), jnp.bool_),
+            "reuse_jac": jnp.zeros((), jnp.bool_),
+            "reuse_fact": jnp.zeros((), jnp.bool_),
+            "jv": jv0, "fac_r": fac_r0, "fac_c": fac_c0,
+            "k_acc": jnp.zeros(ndim, dtype=dtype),
+            "scaling": jnp.ones(ndim, dtype=dtype),
+            "yc": zero3,
+            "status": jnp.zeros((), jnp.int32),  # 0 running 1 ok 2 h 3 nwt
+            "n_steps": jnp.zeros((), jnp.int32),
+            "n_accepted": jnp.zeros((), jnp.int32),
+            "n_rejected": jnp.zeros((), jnp.int32),
+            "n_function": jnp.zeros((), jnp.int32),
+            "n_jacobian": jnp.zeros((), jnp.int32),
+            "n_factor": jnp.zeros((), jnp.int32),
+            "n_lin_sol": jnp.zeros((), jnp.int32),
+            "n_iterations": jnp.zeros((), jnp.int32),
+            "n_iterations_max": jnp.zeros((), jnp.int32),
+            "iter_count": jnp.zeros((), jnp.int32),
+        }
+
+        def cond(s):
+            return (s["status"] == 0) & (s["iter_count"] < n_step_max)
+
+        def body(s):
+            s = {**s, "iter_count": s["iter_count"] + 1}
+            dx = x1 - s["x"]
+            done_conv = dx <= 10.0 * EPS
+            h = jnp.minimum(s["h_new"], dx)
+            too_small = (h <= 10.0 * EPS) & ~done_conv
+
+            def finish(s):
+                st = jnp.where(done_conv, 1, jnp.where(too_small, 2,
+                                                       s["status"]))
+                return {**s, "status": st}
+
+            def step(s):
+                s = {**s, "n_steps": s["n_steps"] + 1}
+                first = s["n_accepted"] == 0
+                # initialize on first-accepted phase (radau5.rs:186)
+                scaling = jnp.where(first,
+                                    abs_tol + rel_tol * jnp.abs(s["y"]),
+                                    s["scaling"])
+                k_acc = lax.cond(first,
+                                 lambda _: f(s["x"], s["y"], None),
+                                 lambda _: s["k_acc"], None)
+                nfcn = s["n_function"] + jnp.where(first, 1, 0)
+
+                # jacobian + factorization (with reuse policy)
+                def with_fact(_):
+                    def with_jac(_):
+                        jv = lax.cond(
+                            s["reuse_jac"] | s["jac_computed"],
+                            lambda _: (s["jv"], jnp.zeros((), jnp.int32)),
+                            lambda _: (jac_fn(s["x"], s["y"], None),
+                                       jnp.ones((), jnp.int32)), None)
+                        return jv
+
+                    jv, njac = with_jac(None)
+                    fr, fc = factorize(jv, h, dtype)
+                    return jv, fr, fc, njac, jnp.ones((), jnp.int32)
+
+                def without_fact(_):
+                    return (s["jv"], s["fac_r"], s["fac_c"],
+                            jnp.zeros((), jnp.int32),
+                            jnp.zeros((), jnp.int32))
+
+                jv, fac_r, fac_c, njac, nfac = lax.cond(
+                    s["reuse_fact"], without_fact, with_fact, None)
+                jac_computed = s["jac_computed"] | (njac > 0)
+                nfcn = nfcn + njac * jac_extra
+
+                # trial values (radau5.rs:367)
+                def trial_poly(_):
+                    c3q = h / s["h_prev"]
+                    c1q = MU1 * c3q
+                    c2q = MU2 * c3q
+                    yc = s["yc"]
+
+                    def poly(cq):
+                        return cq * (yc[0] + (cq - MU4)
+                                     * (yc[1] + (cq - MU3) * yc[2]))
+
+                    z = jnp.stack([poly(c1q), poly(c2q), poly(c3q)])
+                    w = jnp.stack([
+                        TI[0, 0] * z[0] + TI[0, 1] * z[1] + TI[0, 2] * z[2],
+                        TI[1, 0] * z[0] + TI[1, 1] * z[1] + TI[1, 2] * z[2],
+                        TI[2, 0] * z[0] + TI[2, 1] * z[1] + TI[2, 2] * z[2]])
+                    return z, w
+
+                z0, w0 = lax.cond(first | zero_trial,
+                                  lambda _: (zero3, zero3), trial_poly, None)
+
+                nst = newton_loop(s["x"], s["y"], h, w0, z0, fac_r, fac_c,
+                                  scaling, s["eta"])
+                nfcn = nfcn + nst["nfcn"]
+                nsol = s["n_lin_sol"] + nst["nsol"]
+                n_it = nst["newt"]
+                n_it_max = jnp.maximum(s["n_iterations_max"], n_it)
+                eta = nst["eta"]
+                theta = nst["theta"]
+
+                def diverged(_):
+                    return {**s, "n_function": nfcn, "n_lin_sol": nsol,
+                            "n_iterations": n_it,
+                            "scaling": scaling, "k_acc": k_acc,
+                            "jv": jv, "fac_r": fac_r, "fac_c": fac_c,
+                            "jac_computed": jac_computed, "eta": eta,
+                            "n_jacobian": s["n_jacobian"] + njac,
+                            "n_factor": s["n_factor"] + nfac,
+                            "reuse_fact": jnp.zeros((), jnp.bool_),
+                            "follows_reject": jnp.ones((), jnp.bool_),
+                            "last_step": jnp.zeros((), jnp.bool_),
+                            "h_new": h * nst["h_mult"]}
+
+                def not_converged(_):
+                    return {**s, "status": jnp.asarray(3, jnp.int32),
+                            "n_function": nfcn, "n_lin_sol": nsol,
+                            "n_iterations": n_it,
+                            "n_iterations_max": n_it_max,
+                            "n_jacobian": s["n_jacobian"] + njac,
+                            "n_factor": s["n_factor"] + nfac}
+
+                def converged(_):
+                    z = nst["z"]
+                    rel, nfcn2 = err_estimate(
+                        z, k_acc, h, fac_r, scaling, s["x"], s["y"],
+                        first | s["follows_reject"], nfcn)
+
+                    def accept(_):
+                        y_new = s["y"] + z[2]
+                        yc0 = (z[1] - z[2]) / MU4
+                        yc1 = ((z[0] - z[1]) / MU5 - yc0) / MU3
+                        yc2 = yc1 - ((z[0] - z[1]) / MU5 - z[0] / MU1) / MU2
+                        yc = jnp.stack([yc0, yc1, yc2])
+                        n_acc = s["n_accepted"] + 1
+                        num = m_safety * (1 + 2 * nit)
+                        den = n_it + 2 * nit
+                        facv = jnp.minimum(m_safety, num / den)
+                        div = jnp.clip(rel ** 0.25 / facv, m_min, m_max)
+                        h_new = h / div
+                        if use_pred:
+                            r2 = rel * rel
+                            rp = s["rel_error_prev"]
+                            fac_g = jnp.clip(
+                                (s["h_prev"] / h) * (r2 / rp) ** 0.25
+                                / m_safety, m_min, m_max)
+                            div2 = jnp.maximum(div, fac_g)
+                            h_new = jnp.where(n_acc > 1, h / div2, h_new)
+                        h_ratio = h_new / h
+                        reuse_fact = ((theta <= theta_max)
+                                      & (h_ratio >= c1h) & (h_ratio <= c2h))
+                        reuse_jac = (~reuse_fact) & (theta <= theta_max)
+                        h_new_eff = jnp.where(reuse_fact, s["h_new"], h_new)
+                        # do not let h grow after a reject
+                        h_new_eff = jnp.where(
+                            s["follows_reject"],
+                            jnp.minimum(h_new_eff, h), h_new_eff)
+                        x_new = s["x"] + h
+                        scal2 = abs_tol + rel_tol * jnp.abs(y_new)
+                        k_acc2 = f(x_new, y_new, None)
+                        last = x_new + h_new_eff >= x1
+                        return {**s, "x": x_new, "y": y_new, "yc": yc,
+                                "h_prev": h, "h_new": h_new_eff,
+                                "rel_error": rel,
+                                "rel_error_prev": jnp.maximum(
+                                    rel_error_prev_min, rel),
+                                "follows_reject": jnp.zeros((), jnp.bool_),
+                                "last_step": last,
+                                "eta": eta,
+                                "jac_computed": jnp.zeros((), jnp.bool_),
+                                "reuse_jac": reuse_jac,
+                                "reuse_fact": reuse_fact,
+                                "jv": jv, "fac_r": fac_r, "fac_c": fac_c,
+                                "k_acc": k_acc2, "scaling": scal2,
+                                "status": jnp.where(
+                                    s["last_step"], 1, s["status"]),
+                                "n_accepted": n_acc,
+                                "n_function": nfcn2 + 1,
+                                "n_jacobian": s["n_jacobian"] + njac,
+                                "n_factor": s["n_factor"] + nfac,
+                                "n_lin_sol": nsol,
+                                "n_iterations": n_it,
+                                "n_iterations_max": n_it_max}
+
+                    def reject(_):
+                        num = m_safety * (1 + 2 * nit)
+                        den = n_it + 2 * nit
+                        facv = jnp.minimum(m_safety, num / den)
+                        div = jnp.clip(rel ** 0.25 / facv, m_min, m_max)
+                        h_new = jnp.where(
+                            (s["n_accepted"] == 0) & (m_first_reject > 0.0),
+                            h * m_first_reject, h / div)
+                        return {**s,
+                                "n_rejected": s["n_rejected"] + jnp.where(
+                                    s["n_accepted"] > 0, 1, 0),
+                                "follows_reject": jnp.ones((), jnp.bool_),
+                                "last_step": jnp.zeros((), jnp.bool_),
+                                "h_new": h_new, "rel_error": rel,
+                                "eta": eta,
+                                "jv": jv, "fac_r": fac_r, "fac_c": fac_c,
+                                "jac_computed": jac_computed,
+                                "reuse_fact": jnp.zeros((), jnp.bool_),
+                                "k_acc": k_acc, "scaling": scaling,
+                                "n_function": nfcn2,
+                                "n_jacobian": s["n_jacobian"] + njac,
+                                "n_factor": s["n_factor"] + nfac,
+                                "n_lin_sol": nsol,
+                                "n_iterations": n_it,
+                                "n_iterations_max": n_it_max}
+
+                    return lax.cond(rel < 1.0, accept, reject, None)
+
+                return lax.cond(
+                    nst["diverging"], diverged,
+                    lambda _: lax.cond(nst["converged"], converged,
+                                       not_converged, None), None)
+
+            return lax.cond(done_conv | too_small, finish, step, s)
+
+        out = lax.while_loop(cond, body, state)
+        stats = {k: out[k] for k in
+                 ("status", "n_steps", "n_accepted", "n_rejected",
+                  "n_function", "n_jacobian", "n_factor", "n_lin_sol",
+                  "n_iterations", "n_iterations_max")}
+        stats["h_accepted"] = out["h_new"]
+        return out["y"], stats
+
+    return jax.jit(solve)

@@ -49,6 +49,7 @@ class OdeSolver:
         else:
             self.actual = ExplicitRungeKutta(params, system)
         self.work = Workspace(params.method)
+        self._fused_fn = None
 
     def stats(self):
         return self.work.stats
@@ -61,8 +62,15 @@ class OdeSolver:
         self.actual.update_params(params)
 
     def solve(self, y0, x0: float, x1: float, h_equal: Optional[float] = None,
-              args=None, output=None):
-        """Integrate from (x0, y0) to x1; returns the final y."""
+              args=None, output=None, fused: bool = False):
+        """Integrate from (x0, y0) to x1; returns the final y.
+
+        ``fused=True`` (Radau5, no output, no h_equal) runs the whole
+        variable-step integration as ONE device computation
+        (radau5_fused.py) — the fast path for remote/large problems.
+        """
+        if fused:
+            return self._solve_fused(y0, x0, x1, args, output, h_equal)
         y = jnp.asarray(y0, dtype=jnp.float64 if jnp.asarray(y0).dtype
                         == jnp.float64 else jnp.asarray(y0).dtype)
         if y.shape[0] != self.ndim:
@@ -185,6 +193,40 @@ class OdeSolver:
         if not success:
             raise RuntimeError(
                 "variable stepping did not converge with n_step_max steps")
+        return y
+
+    def _solve_fused(self, y0, x0, x1, args, output, h_equal):
+        from russell_tpu.ode.radau5_fused import build_fused_solver
+        if self.params.method != Method.RADAU5:
+            raise ValueError("fused solve is only available for Radau5")
+        if output is not None or h_equal is not None:
+            raise ValueError("fused solve does not support output/h_equal")
+        if args is not None:
+            raise ValueError("fused solve requires args=None (close over "
+                             "static data in the system functions)")
+        if self._fused_fn is None:
+            self._fused_fn = build_fused_solver(self.actual, self.params)
+        h0 = min(self.params.step.h_ini, x1 - x0)
+        y0 = jnp.asarray(y0)
+        y, st = self._fused_fn(jnp.asarray(x0, dtype=y0.dtype), y0,
+                               jnp.asarray(x1, dtype=y0.dtype),
+                               jnp.asarray(h0, dtype=y0.dtype))
+        status = int(st["status"])
+        stats = self.work.stats
+        for k in ("n_function", "n_jacobian", "n_factor", "n_lin_sol",
+                  "n_steps", "n_accepted", "n_rejected", "n_iterations",
+                  "n_iterations_max"):
+            setattr(stats, k, int(st[k]))
+        stats.h_accepted = float(st["h_accepted"])
+        if status == 2:
+            raise RuntimeError("the stepsize becomes too small")
+        if status == 3:
+            raise RuntimeError(
+                "Newton-Raphson method did not complete successfully")
+        if status != 1:
+            raise RuntimeError(
+                "variable stepping did not converge with n_step_max steps")
+        self._check_finite(y)
         return y
 
     @staticmethod

@@ -17,4 +17,7 @@ from russell_tpu.sparse.matrix_market import read_matrix_market, write_matrix_ma
 from russell_tpu.sparse.verify import VerifyLinSys
 from russell_tpu.sparse.lin_solver import LinSolver, LinSolParams, StatsLinSol
 from russell_tpu.sparse.numerical_jacobian import numerical_jacobian
+from russell_tpu.sparse.kernels import (BsrMatrix, bsr_from_coo,
+                                        bsr_matvec, bsr_matmat,
+                                        spgemm_plan, spgemm)
 from russell_tpu.sparse import samples

@@ -220,3 +220,47 @@ def test_stiffness_detection_dopri5():
     sol = OdeSolver(params, system)
     with pytest.raises(StiffnessError):
         sol.solve(y0, x0, 2.0, args=args)
+
+
+@pytest.mark.slow
+def test_radau5_fused_matches_fortran_counters():
+    # the fused single-computation path must reproduce radau5.f exactly
+    system, x0, y0, x1, args = samples.van_der_pol(1e-6, False)
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-6
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, x1, fused=True)
+    st = sol.stats()
+    assert abs(float(y[0]) - 1.706163410178079E+00) < 1e-12
+    assert abs(float(y[1]) - (-8.927971289301175E-01)) < 1e-11
+    assert st.n_function == 2249
+    assert st.n_jacobian == 162
+    assert st.n_factor == 253
+    assert st.n_lin_sol == 668
+    assert st.n_steps == 280
+    assert st.n_accepted == 242
+    assert st.n_rejected == 8
+    assert st.n_iterations_max == 6
+
+
+def test_radau5_fused_brusselator_matches_host():
+    system, x0, y0, args, y_ref = samples.brusselator_ode()
+    params = Params(Method.RADAU5)
+    params.set_tolerances(1e-6, 1e-6)
+    sol_host = OdeSolver(params, system)
+    yh = sol_host.solve(y0, x0, 5.0, args=args)
+    sth = sol_host.stats()
+    sol_fused = OdeSolver(params, system)
+    yf = sol_fused.solve(y0, x0, 5.0, fused=True)
+    stf = sol_fused.stats()
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yh), atol=1e-12)
+    assert (stf.n_steps, stf.n_accepted, stf.n_function) == \
+        (sth.n_steps, sth.n_accepted, sth.n_function)
+
+
+def test_radau5_fused_dae_mass_matrix():
+    system, x0, y0, args, y_fn = samples.simple_system_with_mass_matrix()
+    params = Params(Method.RADAU5)
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 10.0, fused=True)
+    np.testing.assert_allclose(np.asarray(y), y_fn(10.0, None), atol=1e-3)

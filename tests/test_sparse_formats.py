@@ -181,3 +181,36 @@ def test_write_symmetric_roundtrip(tmp_path):
     write_matrix_market(coo, p)
     coo2, _ = read_matrix_market(p, MMsym.LEAVE_AS_LOWER)
     array_approx_eq(coo2.as_dense(), coo.as_dense(), 1e-12)
+
+
+def test_bsr_pallas_spmv_spmm():
+    """Pallas BSR SpMV (interpret mode on CPU) + SpMM vs dense."""
+    from russell_tpu.sparse import samples
+    from russell_tpu.sparse.kernels import (bsr_from_coo, bsr_matvec,
+                                            bsr_matmat)
+    coo = samples.laplacian_2d(15)
+    bsr = bsr_from_coo(coo)
+    A = coo.as_dense()
+    x = np.linspace(-1.0, 1.0, coo.nrow)
+    y_pallas = np.asarray(bsr_matvec(bsr, x, use_pallas=True))
+    np.testing.assert_allclose(y_pallas, A @ x, atol=1e-11)
+    y_ein = np.asarray(bsr_matvec(bsr, x, use_pallas=False))
+    np.testing.assert_allclose(y_ein, A @ x, atol=1e-11)
+    X = np.random.default_rng(1).standard_normal((coo.nrow, 5))
+    np.testing.assert_allclose(np.asarray(bsr_matmat(bsr, X)), A @ X,
+                               atol=1e-11)
+
+
+def test_spgemm_block_product():
+    from russell_tpu.sparse import samples
+    from russell_tpu.sparse.kernels import bsr_from_coo, spgemm_plan, spgemm
+    coo = samples.laplacian_2d(10)
+    bsr = bsr_from_coo(coo, bm=16, bn=16)
+    A = coo.as_dense()
+    plan = spgemm_plan(bsr, bsr)
+    C, cij = spgemm(plan, bsr, bsr)
+    Cd = np.zeros((bsr.n_rows_pad, bsr.n_rows_pad))
+    for q in range(plan.c_blocks):
+        i, j = cij[q]
+        Cd[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] += np.asarray(C[q])
+    np.testing.assert_allclose(Cd[:coo.nrow, :coo.ncol], A @ A, atol=1e-11)
