@@ -25,6 +25,11 @@ import numpy as np
 
 def main() -> None:
     import jax
+    os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("BENCH_X64", "0") == "1":
+        jax.config.update("jax_enable_x64", True)
     from russell_tpu.ode import Method, OdeSolver, Params, samples
 
     npoint = int(os.environ.get("BENCH_NPOINT", "129"))

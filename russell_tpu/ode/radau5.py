@@ -107,15 +107,16 @@ class Radau5:
             return jax.ops.segment_sum(mass_vv * w[mass_jj], mass_ii,
                                        num_segments=ndim)
 
+        mixed = plan.mixed32
+
         def factorize(jv, h):
             alpha, beta, gamma = A / h, B / h, G / h
+            cdtype = (jnp.complex64 if (mixed or jv.dtype != jnp.float64)
+                      else jnp.complex128)
             data_r = jnp.concatenate([-jv, gamma * mass_vv])
             data_c = jnp.concatenate([
-                -jv.astype(jnp.complex128) if jv.dtype == jnp.float64
-                else -jv.astype(jnp.complex64),
-                (alpha + 1j * beta) * mass_vv.astype(
-                    jnp.complex128 if jv.dtype == jnp.float64
-                    else jnp.complex64)])
+                -jv.astype(cdtype),
+                (alpha + 1j * beta) * mass_vv.astype(cdtype)])
             fac_r = _factor.numeric_factorize(plan, data_r)
             fac_c = _factor.numeric_factorize(plan, data_c)
             return fac_r, fac_c
@@ -138,7 +139,12 @@ class Radau5:
             r2 = (TI[2, 0] * k0 + TI[2, 1] * k1 + TI[2, 2] * k2
                   - beta * l1 - alpha * l2)
             dw0 = _factor.factor_solve(plan, fac_r, r0)
-            dw12 = _factor.factor_solve(plan, fac_c, r1 + 1j * r2)
+            if mixed:
+                rc = (r1.astype(jnp.float32)
+                      + 1j * r2.astype(jnp.float32))
+            else:
+                rc = r1 + 1j * r2
+            dw12 = _factor.factor_solve(plan, fac_c, rc)
             w0 = w[0] + dw0
             w1 = w[1] + jnp.real(dw12)
             w2 = w[2] + jnp.imag(dw12)

@@ -72,9 +72,12 @@ def build_fused_solver(stepper, params):
         return jax.ops.segment_sum(mass_vv * w[mass_jj], mass_ii,
                                    num_segments=ndim)
 
+    mixed = plan.mixed32
+
     def factorize(jv, h, dtype):
         alpha, beta, gamma = A / h, B / h, G / h
-        cdtype = jnp.complex128 if dtype == jnp.float64 else jnp.complex64
+        cdtype = (jnp.complex64 if (mixed or dtype != jnp.float64)
+                  else jnp.complex128)
         data_r = jnp.concatenate([-jv, gamma * mass_vv.astype(dtype)])
         data_c = jnp.concatenate([
             -jv.astype(cdtype),
@@ -99,7 +102,11 @@ def build_fused_solver(stepper, params):
         r2 = (TI[2, 0] * k0 + TI[2, 1] * k1 + TI[2, 2] * k2
               - beta * l1 - alpha * l2)
         dw0 = _factor.factor_solve(plan, fac_r, r0)
-        dw12 = _factor.factor_solve(plan, fac_c, r1 + 1j * r2)
+        if mixed:
+            rc = r1.astype(jnp.float32) + 1j * r2.astype(jnp.float32)
+        else:
+            rc = r1 + 1j * r2
+        dw12 = _factor.factor_solve(plan, fac_c, rc)
         w0 = w[0] + dw0
         w1 = w[1] + jnp.real(dw12)
         w2 = w[2] + jnp.imag(dw12)

@@ -71,6 +71,10 @@ class SolvePlan:
     pivot_epsilon: float = 1e-14
     refine_steps: int = 2
     effective_ordering: str = "natural"
+    # mixed precision: factorize/solve blocks in f32/c64, refine residuals
+    # at the input precision (the MUMPS/cuDSS static-pivot + IR strategy
+    # mapped to the TPU, which has no native f64 LU kernel)
+    mixed32: bool = False
 
     @property
     def n_pad(self) -> int:
@@ -88,6 +92,7 @@ def analyze(
     refine_steps: int = 2,
     dense_threshold: int = 1200,
     max_block: int = 4096,
+    mixed_precision: Optional[bool] = None,
 ) -> SolvePlan:
     """Symbolic phase: choose a path and freeze the numeric phase's indices.
 
@@ -96,6 +101,11 @@ def analyze(
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
+    if mixed_precision is None:
+        # XLA:TPU has no f64 LU/triangular kernels; factor in f32 + refine
+        mixed_precision = jax.default_backend() == "tpu"
+    if mixed_precision:
+        refine_steps = max(refine_steps, 3)
 
     if genie == Genie.AUTO:
         if n <= dense_threshold:
@@ -110,8 +120,10 @@ def analyze(
     if genie == Genie.DENSE:
         return SolvePlan(Genie.DENSE, n, rows, cols,
                          scaling=Scaling.NO if scaling == Scaling.AUTO else scaling,
-                         pivot_epsilon=pivot_epsilon, refine_steps=0,
-                         effective_ordering="natural")
+                         pivot_epsilon=pivot_epsilon,
+                         refine_steps=2 if mixed_precision else 0,
+                         effective_ordering="natural",
+                         mixed32=mixed_precision)
 
     if genie == Genie.BANDED:
         if ordering in (Ordering.AUTO, Ordering.RCM, Ordering.AMD, Ordering.METIS):
@@ -141,7 +153,9 @@ def analyze(
             # degenerate band: dense is simpler and exact-pivoting
             return SolvePlan(Genie.DENSE, n, rows, cols,
                              scaling=Scaling.NO, pivot_epsilon=pivot_epsilon,
-                             refine_steps=0, effective_ordering="natural")
+                             refine_steps=2 if mixed_precision else 0,
+                             effective_ordering="natural",
+                             mixed32=mixed_precision)
         iperm = np.empty(n, dtype=np.int64)
         iperm[perm] = np.arange(n)
         r = iperm[rows]
@@ -164,7 +178,7 @@ def analyze(
                          pad_idx=pad_idx.astype(np.int32),
                          scaling=Scaling.MAX if scaling == Scaling.AUTO else scaling,
                          pivot_epsilon=pivot_epsilon, refine_steps=refine_steps,
-                         effective_ordering=eff)
+                         effective_ordering=eff, mixed32=mixed_precision)
 
     if genie == Genie.SPLU:
         use_amd = ordering in (Ordering.AUTO, Ordering.AMD, Ordering.METIS)
@@ -175,7 +189,8 @@ def analyze(
                          else scaling,
                          pivot_epsilon=pivot_epsilon,
                          refine_steps=max(refine_steps, 2),
-                         effective_ordering="amd" if use_amd else "natural")
+                         effective_ordering="amd" if use_amd else "natural",
+                         mixed32=mixed_precision)
 
     raise ValueError(f"genie {genie} is not available in analyze()")
 
@@ -211,6 +226,17 @@ def _equilibrate(plan: SolvePlan, data):
     return data * (rs[rows] * cs[cols]).astype(data.dtype), rs, cs
 
 
+def _factor_dtype(plan: SolvePlan, dtype):
+    """Block-kernel dtype: downcast under mixed precision."""
+    if not plan.mixed32:
+        return dtype
+    if dtype == jnp.float64:
+        return jnp.float32
+    if dtype == jnp.complex128:
+        return jnp.complex64
+    return dtype
+
+
 def _logdet_update(diag, piv):
     """(log|det|, phase) contribution of one LU factor's U diagonal + pivots."""
     k = diag.shape[0]
@@ -237,6 +263,7 @@ def _dense_factorize(plan: SolvePlan, data):
     data, rs, cs = _equilibrate(plan, data)
     a = jnp.zeros((n, n), dtype=data.dtype)
     a = a.at[jnp.asarray(plan.rows), jnp.asarray(plan.cols)].add(data)
+    a = a.astype(_factor_dtype(plan, data.dtype))
     lu, piv = jax.scipy.linalg.lu_factor(a)
     diag = jnp.diagonal(lu)
     logdet, phase = _logdet_update(diag, piv)
@@ -254,10 +281,11 @@ def _dense_factorize(plan: SolvePlan, data):
 
 
 def _dense_solve(plan: SolvePlan, fac, b):
-    dtype = fac["lu"].dtype
-    y = fac["rs"].astype(dtype) * b.astype(dtype)
+    out_dtype = fac["data"].dtype
+    kdtype = fac["lu"].dtype
+    y = (fac["rs"].astype(out_dtype) * b.astype(out_dtype)).astype(kdtype)
     x = jax.scipy.linalg.lu_solve((fac["lu"], fac["piv"]), y)
-    return fac["cs"].astype(dtype) * x
+    return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -268,17 +296,18 @@ def _dense_solve(plan: SolvePlan, fac, b):
 def _banded_factorize(plan: SolvePlan, data):
     n, k, nb = plan.n, plan.block_k, plan.nb
     data, rs, cs = _equilibrate(plan, data)
-    dtype = data.dtype
-    flat = jnp.zeros(3 * nb * k * k, dtype=dtype)
+    dtype = _factor_dtype(plan, data.dtype)
+    flat = jnp.zeros(3 * nb * k * k, dtype=data.dtype)
     flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
     flat = flat.at[jnp.asarray(plan.flat_idx)].add(data)
-    blocks = flat.reshape(3, nb, k, k)
+    blocks = flat.reshape(3, nb, k, k).astype(dtype)
     E = blocks[0]  # E[i] couples block-row i to block-col i-1 (E[0] unused = 0)
     D = blocks[1]
     F = blocks[2]  # F[i] couples block-row i to block-col i+1 (F[nb-1] = 0)
 
     # static pivot perturbation threshold (MUMPS-style)
-    delta = plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))
+    delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(
+        jnp.real(blocks).dtype)
     eye = jnp.eye(k, dtype=dtype)
 
     def lu_with_static_pivot(S):
@@ -321,9 +350,10 @@ def _banded_factorize(plan: SolvePlan, data):
 
 def _banded_solve(plan: SolvePlan, fac, b):
     n, k, nb = plan.n, plan.block_k, plan.nb
+    out_dtype = fac["data"].dtype
     dtype = fac["lus"].dtype
     perm = jnp.asarray(plan.perm)
-    bs = (fac["rs"] * b.astype(dtype))[perm]
+    bs = ((fac["rs"] * b.astype(out_dtype))[perm]).astype(dtype)
     bp = jnp.zeros(nb * k, dtype=dtype).at[: n].set(bs).reshape(nb, k)
 
     def fwd(y_prev, inp):
@@ -345,7 +375,7 @@ def _banded_solve(plan: SolvePlan, fac, b):
     xp = xs.reshape(nb * k)[: n]
     iperm = jnp.zeros(n, dtype=jnp.int32).at[perm].set(jnp.arange(n, dtype=jnp.int32))
     x = xp[iperm]
-    return fac["cs"].astype(dtype) * x
+    return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -357,13 +387,19 @@ def numeric_factorize(plan: SolvePlan, data):
     """Numeric factorization of the entry values ``data`` laid out as
     (plan.rows, plan.cols). Jittable for a fixed plan."""
     data = jnp.asarray(data)
+    if plan.mixed32 and jnp.iscomplexobj(data):
+        data = data.astype(jnp.complex64)  # no complex128 kernels on TPU
     if plan.genie == Genie.DENSE:
         return _dense_factorize(plan, data)
     if plan.genie == Genie.BANDED:
         return _banded_factorize(plan, data)
     if plan.genie == Genie.SPLU:
+        if plan.mixed32 and jnp.iscomplexobj(data):
+            data = data.astype(jnp.complex64)
         data, rs, cs = _equilibrate(plan, data)
-        fac = _splu.splu_factorize(plan.splu_plan, data)
+        fac = _splu.splu_factorize(plan.splu_plan,
+                                   data.astype(_factor_dtype(plan,
+                                                             data.dtype)))
         fac["rs"] = rs
         fac["cs"] = cs
         fac["data"] = data
@@ -375,19 +411,24 @@ def _solve_once(plan: SolvePlan, fac, b):
     if plan.genie == Genie.DENSE:
         return _dense_solve(plan, fac, b)
     if plan.genie == Genie.SPLU:
-        dtype = fac["blocks"].dtype
-        y = fac["rs"].astype(dtype) * jnp.asarray(b).astype(dtype)
+        out_dtype = fac["data"].dtype
+        y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
         x = _splu.splu_solve(plan.splu_plan, fac, y)
-        return fac["cs"].astype(dtype) * x
+        return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
     return _banded_solve(plan, fac, b)
 
 
 def factor_solve(plan: SolvePlan, fac, b):
     """Solve A x = b from a numeric factorization, with ``plan.refine_steps``
-    rounds of iterative refinement against the scaled matrix. Jittable."""
+    rounds of iterative refinement against the scaled matrix. Jittable.
+
+    Under mixed precision the refinement residual runs at the INPUT
+    precision (f64) for real systems; complex systems refine at c64 on
+    TPU (no complex128 kernels there)."""
     b = jnp.asarray(b)
     x = _solve_once(plan, fac, b)
     if plan.refine_steps > 0:
+        x = x.astype(fac["data"].dtype)
         rows = jnp.asarray(plan.rows)
         cols = jnp.asarray(plan.cols)
         data = fac["data"]  # scaled entries: As = R A C

@@ -55,7 +55,13 @@ def bandwidth(rows, cols, perm=None) -> int:
 
 def rcm_ordering(n, rows, cols) -> np.ndarray:
     """Reverse Cuthill-McKee: returns ``perm`` with new_index = position of
-    old index in ``perm`` (i.e. A_new = A[perm][:, perm])."""
+    old index in ``perm`` (i.e. A_new = A[perm][:, perm]).
+
+    Uses the native C++ engine when available (russell_tpu.native)."""
+    from russell_tpu import native
+    nat = native.rcm_order(n, rows, cols)
+    if nat is not None:
+        return nat
     indptr, adj = symmetrize_pattern(n, rows, cols)
     degree = np.diff(indptr)
     visited = np.zeros(n, dtype=bool)
@@ -91,8 +97,12 @@ def mindeg_ordering(n, rows, cols) -> np.ndarray:
 
     A compact minimum-degree variant (no supervariables): good enough to cut
     fill substantially versus natural order; a full AMD can replace it later
-    behind the same interface.
+    behind the same interface. Uses the native C++ engine when available.
     """
+    from russell_tpu import native
+    nat = native.mindeg_order(n, rows, cols)
+    if nat is not None:
+        return nat
     indptr, adj = symmetrize_pattern(n, rows, cols)
     neighbors = [set(adj[indptr[i]:indptr[i + 1]].tolist()) for i in range(n)]
     eliminated = np.zeros(n, dtype=bool)

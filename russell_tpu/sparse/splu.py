@@ -84,32 +84,48 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     bi = r // b
     bj = c // b
 
-    # block pattern as python sets per block-column/row
-    pat = set(zip(bi.tolist(), bj.tolist()))
-    for k in range(nb):
-        pat.add((k, k))  # diagonal blocks always present
-    # symbolic block fill (right-looking)
-    lower = [[] for _ in range(nb)]   # lower[k] = [i > k with (i,k)]
-    upper = [[] for _ in range(nb)]
-    for (i, j) in pat:
-        if i > j:
-            lower[j].append(i)
-        elif i < j:
-            upper[i].append(j)
-    for k in range(nb):
-        Ls = sorted(set(lower[k]))
-        Us = sorted(set(upper[k]))
-        lower[k] = Ls
-        upper[k] = Us
-        for i in Ls:
-            for j in Us:
-                if (i, j) not in pat:
-                    pat.add((i, j))
-                    if i > j:
-                        lower[j].append(i)
-                    elif i < j:
-                        upper[i].append(j)
-    fill_blocks = len(pat) - len(set(zip(bi.tolist(), bj.tolist())))
+    # block pattern + symbolic fill; native C++ path when available
+    base_pat = set(zip(bi.tolist(), bj.tolist()))
+    from russell_tpu import native
+    filled = native.block_fill(nb, bi, bj)
+    if filled is not None:
+        pat = set(map(tuple, filled.tolist()))
+        lower = [[] for _ in range(nb)]
+        upper = [[] for _ in range(nb)]
+        for (i, j) in pat:
+            if i > j:
+                lower[j].append(i)
+            elif i < j:
+                upper[i].append(j)
+        for k in range(nb):
+            lower[k] = sorted(set(lower[k]))
+            upper[k] = sorted(set(upper[k]))
+    else:
+        pat = set(base_pat)
+        for k in range(nb):
+            pat.add((k, k))  # diagonal blocks always present
+        # symbolic block fill (right-looking)
+        lower = [[] for _ in range(nb)]   # lower[k] = [i > k with (i,k)]
+        upper = [[] for _ in range(nb)]
+        for (i, j) in pat:
+            if i > j:
+                lower[j].append(i)
+            elif i < j:
+                upper[i].append(j)
+        for k in range(nb):
+            Ls = sorted(set(lower[k]))
+            Us = sorted(set(upper[k]))
+            lower[k] = Ls
+            upper[k] = Us
+            for i in Ls:
+                for j in Us:
+                    if (i, j) not in pat:
+                        pat.add((i, j))
+                        if i > j:
+                            lower[j].append(i)
+                        elif i < j:
+                            upper[i].append(j)
+    fill_blocks = len(pat) - len(base_pat)
 
     # storage assignment (index 0 is the scratch block)
     blk_index = {}

@@ -283,3 +283,53 @@ def test_splu_via_lin_solver_bfwb62():
     x = s.solve(rhs)
     v = VerifyLinSys.from_system(coo, x, rhs)
     assert v.relative_error < 1e-10
+
+
+def test_native_symbolic_engine():
+    """C++ native orderings/fill agree in contract with Python fallbacks."""
+    from russell_tpu import native
+    from russell_tpu.sparse import samples
+    if not native.available():
+        pytest.skip("no C++ toolchain")
+    coo = samples.laplacian_2d(12)
+    ii, jj, _ = coo.triplets()
+    n = coo.nrow
+    p = native.rcm_order(n, ii, jj)
+    assert sorted(p.tolist()) == list(range(n))
+    assert bandwidth(ii, jj, p) <= bandwidth(ii, jj) + 5
+    p2 = native.mindeg_order(n, ii, jj)
+    assert sorted(p2.tolist()) == list(range(n))
+    # block fill: superset of the base pattern, closed under elimination
+    bi = np.asarray(ii) // 16
+    bj = np.asarray(jj) // 16
+    nb = -(-n // 16)
+    filled = native.block_fill(nb, bi, bj)
+    pat = set(map(tuple, filled.tolist()))
+    assert set(zip(bi.tolist(), bj.tolist())) <= pat
+    for k in range(nb):
+        assert (k, k) in pat
+
+
+def test_mixed_precision_refinement():
+    """f32 factorization + f64 iterative refinement reaches ~f64 accuracy
+    (the TPU strategy: no native f64 LU kernel on the MXU path)."""
+    import jax
+    from russell_tpu.sparse import factor as _factor
+    from russell_tpu.sparse import samples
+    from russell_tpu.sparse.enums import Genie
+
+    coo = samples.laplacian_2d(18)
+    ii, jj, vv = coo.triplets()
+    rhs = np.linspace(1.0, 2.0, coo.nrow)
+    A = coo.as_dense()
+    for genie in (Genie.DENSE, Genie.BANDED, Genie.SPLU):
+        plan = _factor.analyze(coo.nrow, ii, jj, genie=genie,
+                               mixed_precision=True)
+        fac = jax.jit(lambda d, p=plan: _factor.numeric_factorize(p, d))(vv)
+        assert fac["lus" if genie == Genie.BANDED else
+                   ("blocks" if genie == Genie.SPLU else "lu")].dtype == \
+            np.float32
+        x = np.asarray(jax.jit(
+            lambda f, b, p=plan: _factor.factor_solve(p, f, b))(fac, rhs))
+        assert x.dtype == np.float64
+        assert np.max(np.abs(A @ x - rhs)) < 1e-11, genie
