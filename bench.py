@@ -42,8 +42,15 @@ def main() -> None:
 
     solver = OdeSolver(params, system)
     t_start = time.perf_counter()
-    y = solver.solve(yy0, t0, tf, args=None, fused=True)
-    jax.block_until_ready(y)
+    try:
+        y = solver.solve(yy0, t0, tf, args=None, fused=True)
+        jax.block_until_ready(y)
+    except Exception as exc:  # noqa: BLE001
+        print(json.dumps({
+            "metric": f"brusselator_pde_radau5_npoint{npoint}_FAILED_"
+                      f"{type(exc).__name__}",
+            "value": -1.0, "unit": "s", "vs_baseline": 0.0}))
+        return
     wall = time.perf_counter() - t_start
     st = solver.stats()
 

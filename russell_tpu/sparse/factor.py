@@ -40,6 +40,7 @@ from jax import lax
 from russell_tpu.sparse.enums import Genie, Ordering, Scaling
 from russell_tpu.sparse.ordering import bandwidth, rcm_ordering
 from russell_tpu.sparse import splu as _splu
+from russell_tpu.sparse import bcr as _bcr
 
 __all__ = ["SolvePlan", "analyze", "numeric_factorize", "factor_solve"]
 
@@ -75,6 +76,9 @@ class SolvePlan:
     # at the input precision (the MUMPS/cuDSS static-pivot + IR strategy
     # mapped to the TPU, which has no native f64 LU kernel)
     mixed32: bool = False
+    # BANDED numeric kernel: block cyclic reduction (log-depth batched
+    # levels; shards over a mesh) instead of the sequential scan
+    use_bcr: bool = False
 
     @property
     def n_pad(self) -> int:
@@ -93,6 +97,7 @@ def analyze(
     dense_threshold: int = 1200,
     max_block: int = 4096,
     mixed_precision: Optional[bool] = None,
+    banded_kernel: str = "auto",
 ) -> SolvePlan:
     """Symbolic phase: choose a path and freeze the numeric phase's indices.
 
@@ -173,12 +178,17 @@ def analyze(
         pad = np.arange(n, nb * k, dtype=np.int64)
         lp = pad - (pad // k) * k
         pad_idx = ((1 * nb + pad // k) * k + lp) * k + lp
+        if banded_kernel == "auto":
+            use_bcr = nb >= 32  # log-depth wins over the sequential scan
+        else:
+            use_bcr = banded_kernel == "bcr"
         return SolvePlan(Genie.BANDED, n, rows, cols, perm=perm, block_k=k,
                          nb=nb, flat_idx=flat_idx.astype(np.int32),
                          pad_idx=pad_idx.astype(np.int32),
                          scaling=Scaling.MAX if scaling == Scaling.AUTO else scaling,
                          pivot_epsilon=pivot_epsilon, refine_steps=refine_steps,
-                         effective_ordering=eff, mixed32=mixed_precision)
+                         effective_ordering=eff, mixed32=mixed_precision,
+                         use_bcr=use_bcr)
 
     if genie == Genie.SPLU:
         use_amd = ordering in (Ordering.AUTO, Ordering.AMD, Ordering.METIS)
@@ -293,14 +303,59 @@ def _dense_solve(plan: SolvePlan, fac, b):
 # ---------------------------------------------------------------------------
 
 
+def _banded_scatter(plan: SolvePlan, data, dtype):
+    nb, k = plan.nb, plan.block_k
+    flat = jnp.zeros(3 * nb * k * k, dtype=data.dtype)
+    flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
+    flat = flat.at[jnp.asarray(plan.flat_idx)].add(data)
+    return flat.reshape(3, nb, k, k).astype(dtype)
+
+
+def _banded_factorize_bcr(plan: SolvePlan, data):
+    data, rs, cs = _equilibrate(plan, data)
+    dtype = _factor_dtype(plan, data.dtype)
+    blocks = _banded_scatter(plan, data, dtype)
+    fac = _bcr.bcr_factorize(blocks[1], blocks[0], blocks[2],
+                             pivot_epsilon=plan.pivot_epsilon)
+    fac["rs"] = rs
+    fac["cs"] = cs
+    fac["data"] = data
+    # det(A) = prod_levels det(odd diagonal blocks) * det(root): cyclic
+    # reduction eliminates exact Schur complements, so the products of the
+    # level LU diagonals reproduce the full determinant
+    lds = []
+    phs = []
+    for lv in fac["levels"] + [fac["root"]]:
+        ld, ph = jax.vmap(lambda lu, piv: _logdet_update(
+            jnp.diagonal(lu), piv))(lv["lus"], lv["pivs"])
+        lds.append(jnp.sum(ld))
+        phs.append(jnp.prod(ph))
+    fac["logdet"] = sum(lds)
+    ph = phs[0]
+    for p2 in phs[1:]:
+        ph = ph * p2
+    fac["phase"] = ph
+    return fac
+
+
+def _banded_solve_bcr(plan: SolvePlan, fac, b):
+    n, k, nb = plan.n, plan.block_k, plan.nb
+    out_dtype = fac["data"].dtype
+    dtype = fac["root"]["lus"].dtype
+    perm = jnp.asarray(plan.perm)
+    bs = ((fac["rs"] * b.astype(out_dtype))[perm]).astype(dtype)
+    bp = jnp.zeros(nb * k, dtype=dtype).at[: n].set(bs).reshape(nb, k)
+    x = _bcr.bcr_solve(fac, bp).reshape(nb * k)[: n]
+    iperm = jnp.zeros(n, dtype=jnp.int32).at[perm].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return fac["cs"].astype(out_dtype) * x[iperm].astype(out_dtype)
+
+
 def _banded_factorize(plan: SolvePlan, data):
     n, k, nb = plan.n, plan.block_k, plan.nb
     data, rs, cs = _equilibrate(plan, data)
     dtype = _factor_dtype(plan, data.dtype)
-    flat = jnp.zeros(3 * nb * k * k, dtype=data.dtype)
-    flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
-    flat = flat.at[jnp.asarray(plan.flat_idx)].add(data)
-    blocks = flat.reshape(3, nb, k, k).astype(dtype)
+    blocks = _banded_scatter(plan, data, dtype)
     E = blocks[0]  # E[i] couples block-row i to block-col i-1 (E[0] unused = 0)
     D = blocks[1]
     F = blocks[2]  # F[i] couples block-row i to block-col i+1 (F[nb-1] = 0)
@@ -392,6 +447,8 @@ def numeric_factorize(plan: SolvePlan, data):
     if plan.genie == Genie.DENSE:
         return _dense_factorize(plan, data)
     if plan.genie == Genie.BANDED:
+        if plan.use_bcr:
+            return _banded_factorize_bcr(plan, data)
         return _banded_factorize(plan, data)
     if plan.genie == Genie.SPLU:
         if plan.mixed32 and jnp.iscomplexobj(data):
@@ -415,6 +472,8 @@ def _solve_once(plan: SolvePlan, fac, b):
         y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
         x = _splu.splu_solve(plan.splu_plan, fac, y)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
+    if plan.use_bcr:
+        return _banded_solve_bcr(plan, fac, b)
     return _banded_solve(plan, fac, b)
 
 

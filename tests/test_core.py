@@ -100,3 +100,37 @@ def test_peaks_and_sort():
     assert sort2(2, 1) == (1, 2)
     assert sort3(3, 1, 2) == (1, 2, 3)
     assert sort4(4, 3, 2, 1) == (1, 2, 3, 4)
+
+
+def test_checkpoint_resume(tmp_path):
+    """Save mid-run via Output callback, then resume from the snapshot
+    (SURVEY.md §5.4 semantics: resume = re-run solve from saved (x, y))."""
+    import numpy as np
+    from russell_tpu.ode import Method, OdeSolver, Output, Params, samples
+    from russell_tpu.utils import CheckpointManager
+
+    ckpt = CheckpointManager(str(tmp_path / "run.npz"))
+    system, x0, y0, args, y_fn = samples.hairer_wanner_eq1()
+    sol = OdeSolver(Params(Method.RADAU5), system)
+    out = Output().set_step_callback(ckpt.as_step_callback(every_n=2))
+
+    # stop partway by running to an interior point
+    sol.solve(y0, x0, 0.7, args=args, output=out)
+    assert ckpt.exists()
+    x_r, y_r, h_r, meta = ckpt.load()
+    assert x0 < x_r <= 0.7
+    assert meta["n_accepted"] >= 1
+
+    # resume to the end from the snapshot
+    params = Params(Method.RADAU5)
+    params.step.h_ini = max(h_r, 1e-8)
+    sol2 = OdeSolver(params, system)
+    y_end = sol2.solve(y_r, x_r, 1.5, args=args)
+    assert abs(float(y_end[0]) - float(y_fn(1.5, None)[0])) < 5e-4
+
+
+def test_profiling_trace_noop(tmp_path):
+    from russell_tpu.utils import trace
+    import jax.numpy as jnp
+    with trace(str(tmp_path / "prof")):
+        (jnp.ones(8) * 2).block_until_ready()

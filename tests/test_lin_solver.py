@@ -333,3 +333,32 @@ def test_mixed_precision_refinement():
             lambda f, b, p=plan: _factor.factor_solve(p, f, b))(fac, rhs))
         assert x.dtype == np.float64
         assert np.max(np.abs(A @ x - rhs)) < 1e-11, genie
+
+
+def test_bcr_banded_kernel():
+    """Block cyclic reduction matches the sequential scan kernel."""
+    import jax
+    from russell_tpu.sparse import factor as _factor
+    from russell_tpu.sparse import samples
+
+    coo = samples.laplacian_2d(30)  # nb big enough for several BCR levels
+    ii, jj, vv = coo.triplets()
+    rhs = np.linspace(1.0, 2.0, coo.nrow)
+    plan_scan = _factor.analyze(coo.nrow, ii, jj, genie=Genie.BANDED,
+                                banded_kernel="scan")
+    plan_bcr = _factor.analyze(coo.nrow, ii, jj, genie=Genie.BANDED,
+                               banded_kernel="bcr")
+    assert not plan_scan.use_bcr and plan_bcr.use_bcr
+    xs = []
+    for plan in (plan_scan, plan_bcr):
+        fac = jax.jit(lambda d, p=plan: _factor.numeric_factorize(p, d))(vv)
+        x = np.asarray(jax.jit(
+            lambda f, b, p=plan: _factor.factor_solve(p, f, b))(fac, rhs))
+        xs.append(x)
+        # determinants agree with the dense oracle
+        sign, logdet = np.linalg.slogdet(coo.as_dense())
+        got = float(fac["logdet"]) - float(
+            np.sum(np.log(np.asarray(fac["rs"])))
+            + np.sum(np.log(np.asarray(fac["cs"]))))
+        assert abs(got - logdet) < 1e-6
+    np.testing.assert_allclose(xs[0], xs[1], atol=1e-10)
