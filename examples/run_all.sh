@@ -1,0 +1,9 @@
+#!/bin/bash
+# Acceptance harness (mirrors the reference's zscripts/run-examples.bash)
+set -e
+cd "$(dirname "$0")"
+for f in ex_*.py; do
+    echo "=== $f"
+    JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}" python "$f" | tail -2
+done
+echo "ALL EXAMPLES PASSED"
