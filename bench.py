@@ -45,13 +45,20 @@ def main() -> None:
     try:
         y = solver.solve(yy0, t0, tf, args=None, fused=True)
         jax.block_until_ready(y)
+        cold = time.perf_counter() - t_start
+        # warm run: pure device execution (the production steady state;
+        # the first call pays the one-time XLA compile, which on the
+        # remote-tunnel dev chip dominates)
+        t_start = time.perf_counter()
+        y = solver.solve(yy0, t0, tf, args=None, fused=True)
+        jax.block_until_ready(y)
+        wall = time.perf_counter() - t_start
     except Exception as exc:  # noqa: BLE001
         print(json.dumps({
             "metric": f"brusselator_pde_radau5_npoint{npoint}_FAILED_"
                       f"{type(exc).__name__}",
             "value": -1.0, "unit": "s", "vs_baseline": 0.0}))
         return
-    wall = time.perf_counter() - t_start
     st = solver.stats()
 
     ndim = 2 * npoint * npoint
@@ -66,7 +73,7 @@ def main() -> None:
     print(json.dumps({
         "metric": (f"brusselator_pde_radau5_npoint{npoint}_tf{tf}"
                    f"_ndim{ndim}_nsteps{st.n_steps}_nfactor{st.n_factor}"
-                   f"_finite{ok}"),
+                   f"_finite{ok}_cold{round(cold, 1)}s"),
         "value": round(wall, 3),
         "unit": "s",
         "vs_baseline": round(ours_fact_nnz_per_s / ref_fact_nnz_per_s, 3),
