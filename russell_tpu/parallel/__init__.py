@@ -19,10 +19,16 @@ Provided here:
 from russell_tpu.parallel.mesh import make_mesh
 from russell_tpu.parallel.dist_sparse import dist_mat_vec_mul, shard_csr_rows
 from russell_tpu.parallel.batch import batch_factor_solve
+from russell_tpu.parallel.multihost import (initialize_multihost,
+                                            shard_banded_factorize,
+                                            shard_banded_solve)
 
 __all__ = [
     "make_mesh",
     "dist_mat_vec_mul",
     "shard_csr_rows",
     "batch_factor_solve",
+    "initialize_multihost",
+    "shard_banded_factorize",
+    "shard_banded_solve",
 ]
