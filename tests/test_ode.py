@@ -264,3 +264,66 @@ def test_radau5_fused_dae_mass_matrix():
     sol = OdeSolver(params, system)
     y = sol.solve(y0, x0, 10.0, fused=True)
     np.testing.assert_allclose(np.asarray(y), y_fn(10.0, None), atol=1e-3)
+
+
+def test_dopri5_arenstorf_matches_fortran():
+    # oracle: dopri5.f on the Arenstorf orbit (test_dopri5_arenstorf.rs)
+    system, x0, y0, x1, args, y_ref = samples.arenstorf()
+    params = Params(Method.DOPRI5)
+    params.step.h_ini = 1e-4
+    params.set_tolerances(1e-7, 1e-7)
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, x1, args=args)
+    st = sol.stats()
+    assert abs(float(y[0]) - 9.940021704030663E-01) < 1e-11
+    assert abs(float(y[1]) - 9.040891036151961E-06) < 1e-11
+    assert abs(float(y[2]) - 1.459758305600828E-03) < 1e-9
+    assert abs(float(y[3]) - (-2.001245515834718E+00)) < 1e-9
+    assert abs(st.h_accepted - 5.258587607119909E-04) < 1e-10
+    assert st.n_function == 1429
+    assert st.n_steps == 238
+    assert st.n_accepted == 217
+    assert st.n_rejected == 21
+
+
+@pytest.mark.slow
+def test_dopri8_van_der_pol_matches_fortran():
+    # oracle: dop853.f (test_dopri8_van_der_pol.rs): eps=1e-3,
+    # y0=[2,0], dense output h=0.1 (3 extra f evals per accepted step);
+    # the reference notes n_function differs by 2 vs pure dop853
+    system, _, _, _, args = samples.van_der_pol(1e-3, False)
+    params = Params(Method.DOPRI8)
+    params.step.h_ini = 1e-6
+    params.set_tolerances(1e-9, 1e-9)
+    sol = OdeSolver(params, system)
+    out = Output().set_dense_h_out(0.1).set_dense_recording([0, 1])
+    y = sol.solve(np.array([2.0, 0.0]), 0.0, 2.0, args=args, output=out)
+    st = sol.stats()
+    assert abs(float(y[0]) - 1.763234540172087E+00) < 1e-13
+    assert abs(float(y[1]) - (-8.356886819301910E-01)) < 1e-12
+    assert st.n_steps == 1469
+    assert st.n_accepted == 1348
+    assert st.n_rejected == 121
+    assert st.n_function == 21553 - 2
+
+
+def test_radau5_robertson_matches_fortran():
+    # oracle: radau5.f stiff chemistry (test_radau5_robertson.rs)
+    system, x0, y0, args = samples.robertson()
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-6
+    params.set_tolerances(1e-8, 1e-2)
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 0.3, args=args)
+    st = sol.stats()
+    assert abs(float(y[0]) - 9.886740138499884E-01) < 1e-15
+    assert abs(float(y[1]) - 3.447720471782070E-05) < 1e-15
+    assert abs(float(y[2]) - 1.129150894529390E-02) < 1e-15
+    assert abs(st.h_accepted - 8.160578540333708E-01) < 1e-10
+    assert st.n_function == 88
+    assert st.n_jacobian == 8
+    assert st.n_factor == 15
+    assert st.n_lin_sol == 24
+    assert st.n_steps == 17
+    assert st.n_accepted == 15
+    assert st.n_rejected == 1
