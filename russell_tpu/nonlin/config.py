@@ -187,6 +187,7 @@ class Config:
     n_cont_rejection_max: int = 5
     genie: Genie = Genie.AUTO
     lin_sol_config = None
+    write_matrix_after_nstep_and_stop = None  # dump Gu + stop (debug)
     tol_abs_residual: float = 1e-10
     tol_abs_delta: float = 1e-10
     tol_rel_delta: float = 1e-7

@@ -38,6 +38,27 @@ def _expand_sym(system: System):
     return ii, jj, None
 
 
+
+
+def _maybe_write_gu(config: Config, system: System, vals, n_accepted: int,
+                    tag: str):
+    """Dump-and-die debugging (solver_natural.rs:95-105)."""
+    nstep = config.write_matrix_after_nstep_and_stop
+    if nstep is None or nstep <= n_accepted:
+        return
+    import os
+    from russell_tpu.sparse.coo import CooMatrix
+    from russell_tpu.sparse.matrix_market import write_matrix_market
+    os.makedirs("/tmp/russell_tpu", exist_ok=True)
+    gu = CooMatrix.from_arrays(system.ndim, system.ndim, system.jac_ii,
+                               system.jac_jj, np.asarray(vals),
+                               system.sym_ggu)
+    key = f"/tmp/russell_tpu/ggu_{tag}-{n_accepted:03d}"
+    write_matrix_market(gu, key + ".mtx")
+    write_matrix_market(gu, key + ".smat", vismatrix=True)
+    raise RuntimeError("MATRIX FILES GENERATED in /tmp/russell_tpu/")
+
+
 class _GuSolver:
     """Frozen-structure factorize/solve for the Gu matrix."""
 
@@ -87,6 +108,8 @@ class SolverNatural:
         vals, ggl = self.system.calc_jac(work.l, jnp.asarray(work.u), args)
         self.ggl = np.asarray(ggl)
         work.stats.stop_sw_jacobian()
+        _maybe_write_gu(self.config, self.system, vals,
+                        work.stats.n_accepted, "natural")
         work.stats.sw_factor.reset()
         work.stats.n_factor += 1
         self.ls.factorize(vals)
@@ -204,6 +227,8 @@ class SolverArclength:
         vals, ggl = self.system.calc_jac(work.l, jnp.asarray(work.u), args)
         self.ggl = np.asarray(ggl)
         work.stats.stop_sw_jacobian()
+        _maybe_write_gu(self.config, self.system, vals,
+                        work.stats.n_accepted, "arclength")
         work.stats.sw_factor.reset()
         work.stats.n_factor += 1
         self.ls.factorize(vals)

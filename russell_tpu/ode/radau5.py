@@ -243,6 +243,12 @@ class Radau5:
                 self._jv = self._jac_fn(x, y, args)
                 self.jacobian_computed = True
                 work.stats.stop_sw_jacobian()
+            # dump-and-die debugging (radau5.rs:242-254)
+            nstep = self.params.newton.write_matrix_after_nstep_and_stop
+            if nstep is not None and work.stats.n_accepted > nstep:
+                self._write_matrices(h)
+                raise RuntimeError(
+                    "MATRIX FILES GENERATED in /tmp/russell_tpu/")
             work.stats.sw_factor.reset()
             work.stats.n_factor += 1
             self.fac_real, self.fac_comp = self._k_factorize(self._jv, h)
@@ -324,6 +330,32 @@ class Radau5:
             fpe = self._f(x, y + err, args)
             work.rel_error = float(self._k_err2(mez, fpe, self.fac_real,
                                                 self.scaling))
+
+    def _write_matrices(self, h):
+        """Write J, K_real, K_comp MatrixMarket + vismatrix files
+        (radau5.rs write_matrix_after_nstep_and_stop)."""
+        import os
+        from russell_tpu.sparse.coo import CooMatrix
+        from russell_tpu.sparse.matrix_market import write_matrix_market
+        os.makedirs("/tmp/russell_tpu", exist_ok=True)
+        ndim = self.system.ndim
+        jv = np.asarray(self._jv)
+        jac = CooMatrix.from_arrays(ndim, ndim,
+                                    self.plan.rows[: len(jv)],
+                                    self.plan.cols[: len(jv)], jv)
+        A, B, G = _R5["ALPHA"], _R5["BETA"], _R5["GAMMA"]
+        kr = np.concatenate([-jv, (G / h) * self._mass_vv])
+        kc = np.concatenate([-jv.astype(np.complex128),
+                             ((A + 1j * B) / h) * self._mass_vv])
+        rows = np.concatenate([self.plan.rows[: len(jv)], self._mass_ii])
+        cols = np.concatenate([self.plan.cols[: len(jv)], self._mass_jj])
+        kk_real = CooMatrix.from_arrays(ndim, ndim, rows, cols, kr)
+        kk_comp = CooMatrix.from_arrays(ndim, ndim, rows, cols, kc)
+        for name, m in (("jacobian", jac), ("kk_real", kk_real),
+                        ("kk_comp", kk_comp)):
+            write_matrix_market(m, f"/tmp/russell_tpu/{name}.mtx")
+            write_matrix_market(m, f"/tmp/russell_tpu/{name}.smat",
+                                vismatrix=True)
 
     def accept(self, work, x, y, h, args):
         self.reuse_jacobian_kk_and_fact = False
