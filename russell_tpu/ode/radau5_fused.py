@@ -200,7 +200,6 @@ def build_fused_solver(stepper, params):
         h0 = jnp.asarray(h0, dtype=dtype)
 
         jv0 = jac_fn(x0, y0, None)
-        fac_r0, fac_c0 = factorize(jv0, h0, dtype)
 
         zero3 = jnp.zeros((3, ndim), dtype=dtype)
         state = {
@@ -213,7 +212,7 @@ def build_fused_solver(stepper, params):
             "jac_computed": jnp.zeros((), jnp.bool_),
             "reuse_jac": jnp.zeros((), jnp.bool_),
             "reuse_fact": jnp.zeros((), jnp.bool_),
-            "jv": jv0, "fac_r": fac_r0, "fac_c": fac_c0,
+            "jv": jv0, "h_fact": h0,
             "k_acc": jnp.zeros(ndim, dtype=dtype),
             "scaling": jnp.ones(ndim, dtype=dtype),
             "yc": zero3,
@@ -257,27 +256,24 @@ def build_fused_solver(stepper, params):
                                  lambda _: s["k_acc"], None)
                 nfcn = s["n_function"] + jnp.where(first, 1, 0)
 
-                # jacobian + factorization (with reuse policy)
-                def with_fact(_):
-                    def with_jac(_):
-                        jv = lax.cond(
-                            s["reuse_jac"] | s["jac_computed"],
-                            lambda _: (s["jv"], jnp.zeros((), jnp.int32)),
-                            lambda _: (jac_fn(s["x"], s["y"], None),
-                                       jnp.ones((), jnp.int32)), None)
-                        return jv
+                # jacobian + factorization (with reuse policy). The
+                # factorization itself is recomputed every step at the
+                # carried h_fact — numerically identical to reusing the
+                # stored factors, but keeps the (large) factorization
+                # buffers out of the while-loop carry (HBM pressure)
+                def new_jac(_):
+                    return jac_fn(s["x"], s["y"], None), jnp.ones(
+                        (), jnp.int32)
 
-                    jv, njac = with_jac(None)
-                    fr, fc = factorize(jv, h, dtype)
-                    return jv, fr, fc, njac, jnp.ones((), jnp.int32)
+                def old_jac(_):
+                    return s["jv"], jnp.zeros((), jnp.int32)
 
-                def without_fact(_):
-                    return (s["jv"], s["fac_r"], s["fac_c"],
-                            jnp.zeros((), jnp.int32),
-                            jnp.zeros((), jnp.int32))
-
-                jv, fac_r, fac_c, njac, nfac = lax.cond(
-                    s["reuse_fact"], without_fact, with_fact, None)
+                jv, njac = lax.cond(
+                    s["reuse_fact"] | s["reuse_jac"] | s["jac_computed"],
+                    old_jac, new_jac, None)
+                nfac = jnp.where(s["reuse_fact"], 0, 1).astype(jnp.int32)
+                h_fact = jnp.where(s["reuse_fact"], s["h_fact"], h)
+                fac_r, fac_c = factorize(jv, h_fact, dtype)
                 jac_computed = s["jac_computed"] | (njac > 0)
                 nfcn = nfcn + njac * jac_extra
 
@@ -315,7 +311,7 @@ def build_fused_solver(stepper, params):
                     return {**s, "n_function": nfcn, "n_lin_sol": nsol,
                             "n_iterations": n_it,
                             "scaling": scaling, "k_acc": k_acc,
-                            "jv": jv, "fac_r": fac_r, "fac_c": fac_c,
+                            "jv": jv, "h_fact": h_fact,
                             "jac_computed": jac_computed, "eta": eta,
                             "n_jacobian": s["n_jacobian"] + njac,
                             "n_factor": s["n_factor"] + nfac,
@@ -382,7 +378,7 @@ def build_fused_solver(stepper, params):
                                 "jac_computed": jnp.zeros((), jnp.bool_),
                                 "reuse_jac": reuse_jac,
                                 "reuse_fact": reuse_fact,
-                                "jv": jv, "fac_r": fac_r, "fac_c": fac_c,
+                                "jv": jv, "h_fact": h_fact,
                                 "k_acc": k_acc2, "scaling": scal2,
                                 "status": jnp.where(
                                     s["last_step"], 1, s["status"]),
@@ -409,7 +405,7 @@ def build_fused_solver(stepper, params):
                                 "last_step": jnp.zeros((), jnp.bool_),
                                 "h_new": h_new, "rel_error": rel,
                                 "eta": eta,
-                                "jv": jv, "fac_r": fac_r, "fac_c": fac_c,
+                                "jv": jv, "h_fact": h_fact,
                                 "jac_computed": jac_computed,
                                 "reuse_fact": jnp.zeros((), jnp.bool_),
                                 "k_acc": k_acc, "scaling": scaling,
