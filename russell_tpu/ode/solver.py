@@ -229,6 +229,27 @@ class OdeSolver:
         self._check_finite(y)
         return y
 
+    def solve_batch(self, y0_batch, x0, x1, h0: Optional[float] = None):
+        """Solve the SAME system from many initial conditions concurrently:
+        ``vmap`` of the fused Radau5 integration — every lane keeps its own
+        adaptive stepsize/Newton path on-device (the TPU answer to the
+        reference's rayon multi-solver parallelism at problem scale).
+
+        Returns (y_batch, stats_batch) with per-lane counters."""
+        import jax
+        from russell_tpu.ode.radau5_fused import build_fused_solver
+        if self.params.method != Method.RADAU5:
+            raise ValueError("solve_batch is only available for Radau5")
+        if self._fused_fn is None:
+            self._fused_fn = build_fused_solver(self.actual, self.params)
+        y0_batch = jnp.asarray(y0_batch)
+        h = h0 if h0 is not None else min(self.params.step.h_ini, x1 - x0)
+        dtype = y0_batch.dtype
+        fn = jax.vmap(self._fused_fn, in_axes=(None, 0, None, None))
+        y, st = fn(jnp.asarray(x0, dtype=dtype), y0_batch,
+                   jnp.asarray(x1, dtype=dtype), jnp.asarray(h, dtype=dtype))
+        return y, st
+
     @staticmethod
     def _check_finite(y):
         if not bool(jnp.all(jnp.isfinite(y))):

@@ -327,3 +327,20 @@ def test_radau5_robertson_matches_fortran():
     assert st.n_steps == 17
     assert st.n_accepted == 15
     assert st.n_rejected == 1
+
+
+def test_radau5_solve_batch():
+    # vmapped fused solves: per-lane adaptive paths, exact lane agreement
+    system, x0, y0, x1, args = samples.van_der_pol(1e-4, False)
+    sol = OdeSolver(Params(Method.RADAU5), system)
+    B = 8
+    y0s = np.tile(np.asarray(y0)[None, :], (B, 1))
+    y0s[:, 0] += np.linspace(-0.2, 0.2, B)
+    ys, st = sol.solve_batch(y0s, x0, 1.0)
+    assert ys.shape == (B, 2)
+    assert np.all(np.asarray(st["status"]) == 1)
+    # lanes took different step counts (independent controllers)
+    assert len(set(np.asarray(st["n_accepted"]).tolist())) > 1
+    y_ref = sol.solve(y0s[3], x0, 1.0, fused=True)
+    np.testing.assert_allclose(np.asarray(ys[3]), np.asarray(y_ref),
+                               atol=1e-12)
