@@ -195,17 +195,27 @@ class OdeSolver:
                 "variable stepping did not converge with n_step_max steps")
         return y
 
+    def _build_fused(self):
+        """Pick the whole-integration fused builder for the current method:
+        Radau5 (radau5_fused.py) or any embedded ERK (erk_fused.py)."""
+        if self.params.method == Method.RADAU5:
+            from russell_tpu.ode.radau5_fused import build_fused_solver
+            return build_fused_solver(self.actual, self.params)
+        if (isinstance(self.actual, ExplicitRungeKutta)
+                and self.actual.info.embedded):
+            from russell_tpu.ode.erk_fused import build_fused_erk_solver
+            return build_fused_erk_solver(self.actual, self.params)
+        raise ValueError("fused solve requires Radau5 or an embedded "
+                         "explicit Runge-Kutta method")
+
     def _solve_fused(self, y0, x0, x1, args, output, h_equal):
-        from russell_tpu.ode.radau5_fused import build_fused_solver
-        if self.params.method != Method.RADAU5:
-            raise ValueError("fused solve is only available for Radau5")
         if output is not None or h_equal is not None:
             raise ValueError("fused solve does not support output/h_equal")
         if args is not None:
             raise ValueError("fused solve requires args=None (close over "
                              "static data in the system functions)")
         if self._fused_fn is None:
-            self._fused_fn = build_fused_solver(self.actual, self.params)
+            self._fused_fn = self._build_fused()
         h0 = min(self.params.step.h_ini, x1 - x0)
         y0 = jnp.asarray(y0)
         y, st = self._fused_fn(jnp.asarray(x0, dtype=y0.dtype), y0,
@@ -216,7 +226,8 @@ class OdeSolver:
         for k in ("n_function", "n_jacobian", "n_factor", "n_lin_sol",
                   "n_steps", "n_accepted", "n_rejected", "n_iterations",
                   "n_iterations_max"):
-            setattr(stats, k, int(st[k]))
+            if k in st:
+                setattr(stats, k, int(st[k]))
         stats.h_accepted = float(st["h_accepted"])
         if status == 2:
             raise RuntimeError("the stepsize becomes too small")
@@ -237,11 +248,8 @@ class OdeSolver:
 
         Returns (y_batch, stats_batch) with per-lane counters."""
         import jax
-        from russell_tpu.ode.radau5_fused import build_fused_solver
-        if self.params.method != Method.RADAU5:
-            raise ValueError("solve_batch is only available for Radau5")
         if self._fused_fn is None:
-            self._fused_fn = build_fused_solver(self.actual, self.params)
+            self._fused_fn = self._build_fused()
         y0_batch = jnp.asarray(y0_batch)
         h = h0 if h0 is not None else min(self.params.step.h_ini, x1 - x0)
         dtype = y0_batch.dtype

@@ -344,3 +344,39 @@ def test_radau5_solve_batch():
     y_ref = sol.solve(y0s[3], x0, 1.0, fused=True)
     np.testing.assert_allclose(np.asarray(ys[3]), np.asarray(y_ref),
                                atol=1e-12)
+
+
+def test_erk_fused_matches_host_counters():
+    # the fused whole-integration ERK path must reproduce the host
+    # controller exactly (counters are the dopri5.f/dop853.f contract)
+    for method in (Method.DOPRI5, Method.DOPRI8, Method.FEHLBERG4,
+                   Method.VERNER6):
+        system, x0, y0, args, _ = samples.hairer_wanner_eq1()
+        params = Params(method)
+        params.step.h_ini = 1e-4
+        host = OdeSolver(params, system)
+        yh = host.solve(y0, x0, 2.0)
+        ph = Params(method)
+        ph.step.h_ini = 1e-4
+        fused = OdeSolver(ph, system)
+        yf = fused.solve(y0, x0, 2.0, fused=True)
+        sh, sf = host.stats(), fused.stats()
+        for k in ("n_function", "n_steps", "n_accepted", "n_rejected"):
+            assert getattr(sh, k) == getattr(sf, k), (method, k)
+        assert abs(sh.h_accepted - sf.h_accepted) < 1e-8
+        assert np.max(np.abs(np.asarray(yh) - np.asarray(yf))) < 1e-10
+
+
+def test_erk_fused_solve_batch():
+    # vmapped fused DoPri5: ensemble of initial conditions in one launch
+    system, x0, y0, args, _ = samples.hairer_wanner_eq1()
+    params = Params(Method.DOPRI5)
+    params.step.h_ini = 1e-4
+    sol = OdeSolver(params, system)
+    y0s = np.linspace(0.5, 2.0, 8)[:, None] * np.asarray(y0)[None, :]
+    yb, st = sol.solve_batch(y0s, x0, 1.5)
+    assert yb.shape == (8, 1)
+    assert bool(np.all(np.asarray(st["status"]) == 1))
+    # lanes must match scalar fused solves
+    y_ref = sol.solve(y0s[5], x0, 1.5, fused=True)
+    assert np.max(np.abs(np.asarray(yb[5]) - np.asarray(y_ref))) < 1e-12
