@@ -191,15 +191,37 @@ def analyze(
                          use_bcr=use_bcr)
 
     if genie == Genie.SPLU:
-        use_amd = ordering in (Ordering.AUTO, Ordering.AMD, Ordering.METIS)
-        plan = _splu.splu_analyze(n, rows, cols, use_amd=use_amd,
-                                  pivot_epsilon=pivot_epsilon)
+        # METIS is nested dissection in the reference (enums.rs:71-158);
+        # our "nd" ordering plays the same role AND unlocks the
+        # level-batched numeric phase. AUTO tries both symbolics (cheap,
+        # host-only) and keeps the one with fewer stored blocks.
+        if ordering == Ordering.AUTO:
+            plan_nd = _splu.splu_analyze(n, rows, cols, ordering="nd",
+                                         pivot_epsilon=pivot_epsilon)
+            plan_amd = _splu.splu_analyze(n, rows, cols, ordering="amd",
+                                          pivot_epsilon=pivot_epsilon)
+            if plan_nd.nblk <= plan_amd.nblk:
+                plan, eff_ord = plan_nd, "nd"
+            else:
+                plan, eff_ord = plan_amd, "amd"
+        elif ordering == Ordering.METIS:
+            plan = _splu.splu_analyze(n, rows, cols, ordering="nd",
+                                      pivot_epsilon=pivot_epsilon)
+            eff_ord = "nd"
+        elif ordering == Ordering.AMD:
+            plan = _splu.splu_analyze(n, rows, cols, ordering="amd",
+                                      pivot_epsilon=pivot_epsilon)
+            eff_ord = "amd"
+        else:
+            plan = _splu.splu_analyze(n, rows, cols, ordering="natural",
+                                      pivot_epsilon=pivot_epsilon)
+            eff_ord = "natural"
         return SolvePlan(Genie.SPLU, n, rows, cols, splu_plan=plan,
                          scaling=Scaling.MAX if scaling == Scaling.AUTO
                          else scaling,
                          pivot_epsilon=pivot_epsilon,
                          refine_steps=max(refine_steps, 2),
-                         effective_ordering="amd" if use_amd else "natural",
+                         effective_ordering=eff_ord,
                          mixed32=mixed_precision)
 
     raise ValueError(f"genie {genie} is not available in analyze()")

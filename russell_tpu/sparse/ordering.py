@@ -16,7 +16,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["rcm_ordering", "mindeg_ordering", "bandwidth", "symmetrize_pattern"]
+__all__ = ["rcm_ordering", "mindeg_ordering", "nd_ordering", "bandwidth",
+           "symmetrize_pattern"]
 
 
 def symmetrize_pattern(n, rows, cols):
@@ -90,6 +91,89 @@ def rcm_ordering(n, rows, cols) -> np.ndarray:
                 order[pos:pos + len(nbrs)] = nbrs
                 pos += len(nbrs)
     return order[::-1].copy()  # reverse CM
+
+
+def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
+    """Nested dissection: recursive BFS-level bisection with the boundary
+    level as separator. Eliminating leaves first and separators last gives
+    a LOW-DEPTH elimination tree with WIDE independent level sets — the
+    property the level-batched SPLU numeric phase (splu.py) exploits for
+    MXU parallelism (the role METIS plays for MUMPS, enums.rs:71-158).
+
+    Returns ``order`` with order[k] = old index eliminated at position k.
+    """
+    indptr, adj = symmetrize_pattern(n, rows, cols)
+    order_out = np.empty(n, dtype=np.int64)
+    pos = 0
+    # explicit stack of (verts, phase); separators are emitted after both
+    # halves via a post-order marker
+    stack = [("sep", None), ("split", np.arange(n, dtype=np.int64))]
+    pending_seps = [np.zeros(0, dtype=np.int64)]
+
+    def bfs_levels(verts):
+        """BFS level of every vertex of the subgraph induced by verts."""
+        vset = np.zeros(n, dtype=bool)
+        vset[verts] = True
+        lev = np.full(n, -1, dtype=np.int64)
+        # pseudo-peripheral start: two BFS sweeps from a low-degree vertex
+        deg = indptr[verts + 1] - indptr[verts]
+        start = verts[np.argmin(deg)]
+        for _sweep in range(2):
+            lev[verts] = -1
+            lev[start] = 0
+            frontier = np.array([start], dtype=np.int64)
+            last = start
+            while len(frontier):
+                nxt = []
+                for u in frontier:
+                    nbrs = adj[indptr[u]:indptr[u + 1]]
+                    nbrs = nbrs[vset[nbrs] & (lev[nbrs] < 0)]
+                    lev[nbrs] = lev[u] + 1
+                    nxt.append(nbrs)
+                frontier = (np.concatenate(nxt) if nxt
+                            else np.zeros(0, dtype=np.int64))
+                if len(frontier):
+                    last = frontier[-1]
+            start = last
+        return lev
+
+    while stack:
+        kind, verts = stack.pop()
+        if kind == "sep":
+            sep = pending_seps.pop()
+            order_out[pos:pos + len(sep)] = sep
+            pos += len(sep)
+            continue
+        if len(verts) <= leaf:
+            order_out[pos:pos + len(verts)] = verts
+            pos += len(verts)
+            continue
+        lev = bfs_levels(verts)
+        vl = lev[verts]
+        unreached = verts[vl < 0]       # other components -> side B
+        reached = verts[vl >= 0]
+        rl = lev[reached]
+        maxlev = int(rl.max()) if len(rl) else 0
+        if maxlev < 2:
+            # dense-ish subgraph: no useful split, emit as a leaf
+            order_out[pos:pos + len(verts)] = verts
+            pos += len(verts)
+            continue
+        # split level: median vertex position
+        counts = np.bincount(rl, minlength=maxlev + 1)
+        half = np.searchsorted(np.cumsum(counts), len(reached) // 2)
+        half = min(max(int(half), 1), maxlev - 1)
+        A = reached[rl < half]
+        S = reached[rl == half]
+        B = np.concatenate([reached[rl > half], unreached])
+        pending_seps.append(S)
+        stack.append(("sep", None))
+        if len(B):
+            stack.append(("split", B))
+        if len(A):
+            stack.append(("split", A))
+    assert pos == n
+    return order_out
 
 
 def mindeg_ordering(n, rows, cols) -> np.ndarray:

@@ -62,15 +62,31 @@ class SpluPlan:
     bwd_col: np.ndarray         # (nb, max_urow)
     pivot_epsilon: float = 1e-14
     fill_blocks: int = 0
+    # level schedule: independent block columns eliminated concurrently
+    # (elimination-tree level sets; the supernodal-parallelism analog of
+    # MUMPS' multifrontal tree parallelism, here batched onto the MXU).
+    # lvl_cols[t] lists the columns of level t, padded with nb (dummy).
+    lvl_cols: Optional[np.ndarray] = None   # (nlev, max_w)
 
 
 def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
                  block_size: int = 32, use_amd: bool = True,
-                 pivot_epsilon: float = 1e-14) -> SpluPlan:
-    """Symbolic phase: ordering + block pattern + static schedules."""
+                 pivot_epsilon: float = 1e-14,
+                 ordering: Optional[str] = None) -> SpluPlan:
+    """Symbolic phase: ordering + block pattern + static schedules.
+
+    ``ordering``: "amd" (fill-minimizing, default), "nd" (nested
+    dissection: low-depth elimination tree -> wide level-batched numeric
+    phase), or "natural"."""
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
-    if use_amd:
+    if ordering is None:
+        ordering = "amd" if use_amd else "natural"
+    if ordering == "nd":
+        from russell_tpu.sparse.ordering import nd_ordering
+        perm_old2new = np.empty(n, dtype=np.int64)
+        perm_old2new[nd_ordering(n, rows, cols)] = np.arange(n)
+    elif ordering == "amd":
         perm_old2new = np.empty(n, dtype=np.int64)
         order = mindeg_ordering(n, rows, cols)  # order[i] = old index
         perm_old2new[order] = np.arange(n)
@@ -186,12 +202,36 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
             bwd_idx[k, a] = s
             bwd_col[k, a] = j
 
+    # elimination-tree level sets: column k must run after every j < k
+    # whose step touches block-row k or block-column k, i.e. (k,j) or
+    # (j,k) in the (filled) pattern. All deps satisfy j < k, so a single
+    # ascending sweep computes the levels.
+    deps = [[] for _ in range(nb)]
+    for (i, j) in pat:
+        if i > j:
+            deps[i].append(j)   # (k=i, j) L block
+        elif i < j:
+            deps[j].append(i)   # (i, k=j) U block
+    level = np.zeros(nb, dtype=np.int64)
+    for k in range(nb):
+        if deps[k]:
+            level[k] = 1 + max(level[j] for j in deps[k])
+    nlev = int(level.max()) + 1 if nb else 1
+    buckets = [[] for _ in range(nlev)]
+    for k in range(nb):
+        buckets[level[k]].append(k)
+    max_w = max((len(bk) for bk in buckets), default=1) or 1
+    lvl_cols = np.full((nlev, max_w), nb, dtype=np.int64)  # nb = dummy
+    for t, bk in enumerate(buckets):
+        lvl_cols[t, :len(bk)] = bk
+
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
         scatter_idx=scatter_idx, pad_idx=pad_idx, diag_idx=diag_idx,
         l_idx=l_idx, u_idx=u_idx, upd_idx=upd_idx, lrow_idx=lrow_idx,
         fwd_idx=fwd_idx, fwd_col=fwd_col, bwd_idx=bwd_idx, bwd_col=bwd_col,
-        pivot_epsilon=pivot_epsilon, fill_blocks=fill_blocks)
+        pivot_epsilon=pivot_epsilon, fill_blocks=fill_blocks,
+        lvl_cols=lvl_cols)
 
 
 # ---------------------------------------------------------------------------
@@ -201,7 +241,13 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
 
 def splu_factorize(plan: SpluPlan, data):
     """Numeric block LU; ``data`` are the (already permuted-layout) entry
-    values in the original entry order. Jittable for a fixed plan."""
+    values in the original entry order. Jittable for a fixed plan.
+
+    When the symbolic phase found elimination-tree parallelism (level sets
+    narrower than the column count), independent block columns of each
+    level are factorized CONCURRENTLY — batched diagonal LUs, panel
+    triangular solves, and one fused Schur scatter-add per level (the MXU
+    analog of MUMPS' multifrontal tree parallelism, L0-threading)."""
     data = jnp.asarray(data)
     dtype = data.dtype
     b, nb, nblk = plan.b, plan.nb, plan.nblk
@@ -214,6 +260,14 @@ def splu_factorize(plan: SpluPlan, data):
 
     delta = plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))
     eye = jnp.eye(b, dtype=dtype)
+
+    lvl = plan.lvl_cols
+    if lvl is not None and lvl.shape[0] < nb:
+        max_w = lvl.shape[1]
+        max_l = plan.l_idx.shape[1]
+        max_u = plan.u_idx.shape[1]
+        if max_w * max_l * max_u * b * b <= 1_000_000_000:
+            return _splu_factorize_levels(plan, blocks, delta, eye, dtype)
 
     diag_idx = jnp.asarray(plan.diag_idx)
     l_idx = jnp.asarray(plan.l_idx)
@@ -277,6 +331,92 @@ def splu_factorize(plan: SpluPlan, data):
         "logdet": jnp.sum(lds),
         "phase": jnp.ones((), dtype=dtype),  # sign not tracked; |det| only
         "min_pivot": jnp.min(mps),
+        "n_perturbed": jnp.zeros((), dtype=jnp.int32),
+    }
+
+
+def _splu_factorize_levels(plan: SpluPlan, blocks, delta, eye, dtype):
+    """Level-parallel numeric phase: one ``lax.scan`` over elimination-tree
+    levels; all block columns of a level are eliminated in one batched
+    step (vmapped LU/TRSM + a single duplicate-safe Schur scatter-add)."""
+    b, nb = plan.b, plan.nb
+
+    def ext(a):
+        return np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)])
+
+    diag_e = jnp.asarray(np.append(plan.diag_idx, 0))
+    l_e = jnp.asarray(ext(plan.l_idx))
+    u_e = jnp.asarray(ext(plan.u_idx))
+    upd_e = jnp.asarray(ext(plan.upd_idx))
+    lrow_e = jnp.asarray(ext(plan.lrow_idx))
+    lvl = jnp.asarray(plan.lvl_cols)
+
+    zero_blk = jnp.zeros((b, b), dtype=dtype)
+
+    def lu_pert(D):
+        lu, piv = jax.scipy.linalg.lu_factor(D)
+        dmin = jnp.min(jnp.abs(jnp.diagonal(lu)))
+        lu2, piv2 = jax.scipy.linalg.lu_factor(D + delta.astype(dtype) * eye)
+        bad = dmin <= delta
+        return (jnp.where(bad, lu2, lu), jnp.where(bad, piv2, piv))
+
+    def level_step(carry, cols):
+        blocks, pvecs, ld, mp = carry
+        live = (cols < nb)
+        dk = diag_e[cols]                       # (w,)
+        lus, pivs = jax.vmap(lu_pert)(blocks[dk])
+        blocks = blocks.at[dk].set(lus).at[0].set(zero_blk)
+        pv = jax.vmap(lambda p: _ipiv_to_perm(p, b))(pivs)   # (w, b)
+        pvecs = pvecs.at[cols].set(pv, mode="drop")
+
+        # propagate local row permutations to the L panels of these rows
+        li = lrow_e[cols]                       # (w, max_lrow)
+        lr = blocks[li]                         # (w, max_lrow, b, b)
+        lr = jax.vmap(lambda m, p: m[:, p, :])(lr, pv)
+        blocks = blocks.at[li].set(lr).at[0].set(zero_blk)
+
+        # U panels: U_kj = unit-lower(lu)^{-1} (P A_kj)
+        ui = u_e[cols]                          # (w, max_u)
+        Ub = blocks[ui]
+        Ub = jax.vmap(lambda m, p: m[:, p, :])(Ub, pv)
+        L_unit = jnp.tril(lus, -1) + eye
+        Unew = jax.vmap(lambda Lk, Ms: jax.vmap(
+            lambda M: jax.scipy.linalg.solve_triangular(
+                Lk, M, lower=True, unit_diagonal=True))(Ms))(L_unit, Ub)
+        blocks = blocks.at[ui].set(Unew).at[0].set(zero_blk)
+
+        # L panels: L_ik = A_ik U_kk^{-1}
+        Uup = jnp.triu(lus)
+        li2 = l_e[cols]
+        Lb = blocks[li2]
+        Lnew = jax.vmap(lambda Uk, Ms: jax.vmap(
+            lambda M: jax.scipy.linalg.solve_triangular(
+                Uk, M.T, lower=False, trans=1).T)(Ms))(Uup, Lb)
+        blocks = blocks.at[li2].set(Lnew).at[0].set(zero_blk)
+
+        # Schur updates (duplicate targets across columns add correctly)
+        prod = jnp.einsum("waij,wbjk->wabik", Lnew, Unew,
+                          preferred_element_type=dtype)
+        blocks = blocks.at[upd_e[cols]].add(-prod).at[0].set(zero_blk)
+
+        dg = jnp.abs(jnp.diagonal(lus, axis1=-2, axis2=-1))   # (w, b)
+        ldw = jnp.sum(jnp.log(jnp.maximum(dg, 1e-300)), axis=-1)
+        ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
+        mpw = jnp.min(dg, axis=-1)
+        mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
+        return (blocks, pvecs, ld, mp), None
+
+    rdtype = jnp.zeros((), dtype=dtype).real.dtype
+    pvecs0 = jnp.zeros((nb, b), dtype=jnp.int32)
+    carry0 = (blocks, pvecs0, jnp.zeros((), rdtype),
+              jnp.asarray(jnp.inf, dtype=rdtype))
+    (blocks, pvecs, ld, mp), _ = lax.scan(level_step, carry0, lvl)
+    return {
+        "blocks": blocks,
+        "pvecs": pvecs,
+        "logdet": ld,
+        "phase": jnp.ones((), dtype=dtype),
+        "min_pivot": mp,
         "n_perturbed": jnp.zeros((), dtype=jnp.int32),
     }
 

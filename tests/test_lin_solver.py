@@ -362,3 +362,32 @@ def test_bcr_banded_kernel():
             + np.sum(np.log(np.asarray(fac["cs"]))))
         assert abs(got - logdet) < 1e-6
     np.testing.assert_allclose(xs[0], xs[1], atol=1e-10)
+
+
+def test_splu_nested_dissection_level_batched():
+    # ND ordering must produce a low-depth elimination tree and the
+    # level-batched numeric phase must agree with the sequential one
+    import jax
+    import jax.numpy as jnp
+    from russell_tpu.sparse import samples as _samples
+    from russell_tpu.sparse import splu as _splu
+
+    coo = _samples.laplacian_2d(32)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    plan_nd = _splu.splu_analyze(n, ii, jj, block_size=16, ordering="nd")
+    plan_amd = _splu.splu_analyze(n, ii, jj, block_size=16, ordering="amd")
+    assert plan_nd.lvl_cols.shape[0] < plan_nd.nb          # real parallelism
+    assert plan_nd.nblk < plan_amd.nblk                    # less fill too
+    fac = _splu.splu_factorize(plan_nd, jnp.asarray(vv))
+    b = np.linspace(1.0, 2.0, n)
+    x = _splu.splu_solve(plan_nd, fac, jnp.asarray(b))
+    A = np.asarray(coo.as_dense())
+    assert np.max(np.abs(A @ np.asarray(x) - b)) < 1e-10
+    # sequential reference on the same plan
+    plan_seq = _splu.splu_analyze(n, ii, jj, block_size=16, ordering="nd")
+    plan_seq.lvl_cols = None
+    fac2 = _splu.splu_factorize(plan_seq, jnp.asarray(vv))
+    x2 = _splu.splu_solve(plan_seq, fac2, jnp.asarray(b))
+    assert np.max(np.abs(np.asarray(x) - np.asarray(x2))) < 1e-9
+    assert abs(float(fac["logdet"]) - float(fac2["logdet"])) < 1e-8
