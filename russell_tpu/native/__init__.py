@@ -18,7 +18,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["load", "available", "rcm_order", "mindeg_order", "block_fill"]
+__all__ = ["load", "available", "rcm_order", "mindeg_order", "nd_order",
+           "block_fill"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "symbolic.cpp")
@@ -59,6 +60,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib.rcm_order.restype = ctypes.c_int
         lib.mindeg_order.argtypes = [I64, I64, P64, P64, P64]
         lib.mindeg_order.restype = ctypes.c_int
+        lib.nd_order.argtypes = [I64, I64, P64, P64, I64, P64]
+        lib.nd_order.restype = ctypes.c_int
         lib.block_fill.argtypes = [I64, I64, P64, P64, I64, P64]
         lib.block_fill.restype = I64
         _lib = lib
@@ -91,6 +94,18 @@ def mindeg_order(n: int, rows, cols) -> Optional[np.ndarray]:
     cols = np.ascontiguousarray(cols, dtype=np.int64)
     out = np.empty(n, dtype=np.int64)
     if lib.mindeg_order(n, len(rows), rows, cols, out) != 0:
+        return None
+    return out
+
+
+def nd_order(n: int, rows, cols, leaf: int = 64) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int64)
+    out = np.empty(n, dtype=np.int64)
+    if lib.nd_order(n, len(rows), rows, cols, leaf, out) != 0:
         return None
     return out
 

@@ -140,6 +140,102 @@ int mindeg_order(int64_t n, int64_t nnz, const int64_t* rows,
     return 0;
 }
 
+// Nested dissection: recursive BFS-level bisection, boundary level as
+// separator; leaves first, separators last (sparse/ordering.py
+// nd_ordering contract). out_order[k] = old index eliminated k-th.
+int nd_order(int64_t n, int64_t nnz, const int64_t* rows,
+             const int64_t* cols, int64_t leaf, int64_t* out_order) {
+    std::vector<int64_t> indptr, adj;
+    symmetrize(n, nnz, rows, cols, indptr, adj);
+    std::vector<int64_t> level(n, -1);
+    std::vector<char> inset(n, 0);
+    std::vector<int64_t> frontier, nxt;
+    int64_t pos = 0;
+
+    struct Task {
+        std::vector<int64_t> verts;
+        bool is_sep;  // emit verts directly (separator / leaf)
+    };
+    std::vector<Task> stack;
+    {
+        Task root;
+        root.verts.resize(n);
+        for (int64_t i = 0; i < n; i++) root.verts[i] = i;
+        root.is_sep = false;
+        stack.push_back(std::move(root));
+    }
+    while (!stack.empty()) {
+        Task t = std::move(stack.back());
+        stack.pop_back();
+        auto& verts = t.verts;
+        if (t.is_sep || (int64_t)verts.size() <= leaf) {
+            for (int64_t v : verts) out_order[pos++] = v;
+            continue;
+        }
+        // BFS levels with a pseudo-peripheral start (two sweeps)
+        for (int64_t v : verts) inset[v] = 1;
+        int64_t start = verts[0];
+        int64_t best_deg = INT64_MAX;
+        for (int64_t v : verts) {
+            int64_t d = indptr[v + 1] - indptr[v];
+            if (d < best_deg) { best_deg = d; start = v; }
+        }
+        for (int sweep = 0; sweep < 2; sweep++) {
+            for (int64_t v : verts) level[v] = -1;
+            level[start] = 0;
+            frontier.assign(1, start);
+            int64_t last = start;
+            while (!frontier.empty()) {
+                nxt.clear();
+                for (int64_t u : frontier) {
+                    for (int64_t p = indptr[u]; p < indptr[u + 1]; p++) {
+                        int64_t w = adj[p];
+                        if (inset[w] && level[w] < 0) {
+                            level[w] = level[u] + 1;
+                            nxt.push_back(w);
+                        }
+                    }
+                }
+                if (!nxt.empty()) last = nxt.back();
+                frontier.swap(nxt);
+            }
+            start = last;
+        }
+        int64_t maxlev = 0;
+        int64_t nreach = 0;
+        for (int64_t v : verts)
+            if (level[v] >= 0) { nreach++; if (level[v] > maxlev) maxlev = level[v]; }
+        if (maxlev < 2) {  // no useful split: emit as a leaf
+            for (int64_t v : verts) { inset[v] = 0; out_order[pos++] = v; }
+            continue;
+        }
+        // split at the median level
+        std::vector<int64_t> counts(maxlev + 1, 0);
+        for (int64_t v : verts) if (level[v] >= 0) counts[level[v]]++;
+        int64_t half = 1, acc = 0;
+        for (int64_t l = 0; l <= maxlev; l++) {
+            acc += counts[l];
+            if (acc >= nreach / 2) { half = l; break; }
+        }
+        if (half < 1) half = 1;
+        if (half > maxlev - 1) half = maxlev - 1;
+        Task A, B, S;
+        A.is_sep = B.is_sep = false;
+        S.is_sep = true;
+        for (int64_t v : verts) {
+            inset[v] = 0;
+            if (level[v] < 0) B.verts.push_back(v);         // other components
+            else if (level[v] < half) A.verts.push_back(v);
+            else if (level[v] == half) S.verts.push_back(v);
+            else B.verts.push_back(v);
+        }
+        stack.push_back(std::move(S));   // pops last -> emitted after A, B
+        if (!B.verts.empty()) stack.push_back(std::move(B));
+        if (!A.verts.empty()) stack.push_back(std::move(A));
+    }
+    return pos == n ? 0 : -1;
+}
+
 // Symbolic block right-looking LU fill (sparse/splu.py contract).
 // Input: block pattern as nbp (bi, bj) pairs over nb block rows.
 // Output: fills out_pairs (capacity cap, as i*nb+j codes) with the FINAL

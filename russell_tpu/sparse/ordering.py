@@ -102,6 +102,10 @@ def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
 
     Returns ``order`` with order[k] = old index eliminated at position k.
     """
+    from russell_tpu import native
+    nat = native.nd_order(n, rows, cols, leaf)
+    if nat is not None:
+        return nat
     indptr, adj = symmetrize_pattern(n, rows, cols)
     order_out = np.empty(n, dtype=np.int64)
     pos = 0
