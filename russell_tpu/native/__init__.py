@@ -60,7 +60,8 @@ def load() -> Optional[ctypes.CDLL]:
         lib.rcm_order.restype = ctypes.c_int
         lib.mindeg_order.argtypes = [I64, I64, P64, P64, P64]
         lib.mindeg_order.restype = ctypes.c_int
-        lib.nd_order.argtypes = [I64, I64, P64, P64, I64, P64]
+        lib.nd_order.argtypes = [I64, I64, P64, P64, I64, P64, P64,
+                                 ctypes.POINTER(I64)]
         lib.nd_order.restype = ctypes.c_int
         lib.block_fill.argtypes = [I64, I64, P64, P64, I64, P64]
         lib.block_fill.restype = I64
@@ -98,15 +99,22 @@ def mindeg_order(n: int, rows, cols) -> Optional[np.ndarray]:
     return out
 
 
-def nd_order(n: int, rows, cols, leaf: int = 64) -> Optional[np.ndarray]:
+def nd_order(n: int, rows, cols, leaf: int = 64, with_regions: bool = False):
+    """order array, or (order, region_sizes) when with_regions; None if the
+    native engine is unavailable."""
     lib = load()
     if lib is None:
         return None
     rows = np.ascontiguousarray(rows, dtype=np.int64)
     cols = np.ascontiguousarray(cols, dtype=np.int64)
     out = np.empty(n, dtype=np.int64)
-    if lib.nd_order(n, len(rows), rows, cols, leaf, out) != 0:
+    regions = np.empty(max(n, 1), dtype=np.int64)
+    nreg = ctypes.c_int64(0)
+    if lib.nd_order(n, len(rows), rows, cols, leaf, out, regions,
+                    ctypes.byref(nreg)) != 0:
         return None
+    if with_regions:
+        return out, regions[:nreg.value].copy()
     return out
 
 

@@ -143,14 +143,19 @@ int mindeg_order(int64_t n, int64_t nnz, const int64_t* rows,
 // Nested dissection: recursive BFS-level bisection, boundary level as
 // separator; leaves first, separators last (sparse/ordering.py
 // nd_ordering contract). out_order[k] = old index eliminated k-th.
+// out_regions (capacity n) receives the size of each emitted region
+// (leaf or separator, in emission order); *out_nregions the count. Both
+// may be null.
 int nd_order(int64_t n, int64_t nnz, const int64_t* rows,
-             const int64_t* cols, int64_t leaf, int64_t* out_order) {
+             const int64_t* cols, int64_t leaf, int64_t* out_order,
+             int64_t* out_regions, int64_t* out_nregions) {
     std::vector<int64_t> indptr, adj;
     symmetrize(n, nnz, rows, cols, indptr, adj);
     std::vector<int64_t> level(n, -1);
     std::vector<char> inset(n, 0);
     std::vector<int64_t> frontier, nxt;
     int64_t pos = 0;
+    if (out_nregions) *out_nregions = 0;
 
     struct Task {
         std::vector<int64_t> verts;
@@ -169,6 +174,8 @@ int nd_order(int64_t n, int64_t nnz, const int64_t* rows,
         stack.pop_back();
         auto& verts = t.verts;
         if (t.is_sep || (int64_t)verts.size() <= leaf) {
+            if (out_regions && !verts.empty())
+                out_regions[(*out_nregions)++] = (int64_t)verts.size();
             for (int64_t v : verts) out_order[pos++] = v;
             continue;
         }
@@ -206,6 +213,8 @@ int nd_order(int64_t n, int64_t nnz, const int64_t* rows,
         for (int64_t v : verts)
             if (level[v] >= 0) { nreach++; if (level[v] > maxlev) maxlev = level[v]; }
         if (maxlev < 2) {  // no useful split: emit as a leaf
+            if (out_regions && !verts.empty())
+                out_regions[(*out_nregions)++] = (int64_t)verts.size();
             for (int64_t v : verts) { inset[v] = 0; out_order[pos++] = v; }
             continue;
         }

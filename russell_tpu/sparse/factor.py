@@ -195,25 +195,38 @@ def analyze(
         # our "nd" ordering plays the same role AND unlocks the
         # level-batched numeric phase. AUTO tries both symbolics (cheap,
         # host-only) and keeps the one with fewer stored blocks.
+        # block size: MXU-friendly tiles, larger for larger problems
+        # (fewer levels, bigger batched GEMMs)
+        bsz = 128 if n >= 100_000 else (64 if n >= 20_000 else 32)
         if ordering == Ordering.AUTO:
             plan_nd = _splu.splu_analyze(n, rows, cols, ordering="nd",
+                                         block_size=bsz,
                                          pivot_epsilon=pivot_epsilon)
-            plan_amd = _splu.splu_analyze(n, rows, cols, ordering="amd",
-                                          pivot_epsilon=pivot_epsilon)
-            if plan_nd.nblk <= plan_amd.nblk:
+            if n > 20_000:
+                # mindeg's clique formation is superlinear; at this size
+                # nested dissection wins anyway (grid-like problems)
                 plan, eff_ord = plan_nd, "nd"
             else:
-                plan, eff_ord = plan_amd, "amd"
+                plan_amd = _splu.splu_analyze(n, rows, cols, ordering="amd",
+                                              block_size=bsz,
+                                              pivot_epsilon=pivot_epsilon)
+                if plan_nd.nblk <= plan_amd.nblk:
+                    plan, eff_ord = plan_nd, "nd"
+                else:
+                    plan, eff_ord = plan_amd, "amd"
         elif ordering == Ordering.METIS:
             plan = _splu.splu_analyze(n, rows, cols, ordering="nd",
+                                      block_size=bsz,
                                       pivot_epsilon=pivot_epsilon)
             eff_ord = "nd"
         elif ordering == Ordering.AMD:
             plan = _splu.splu_analyze(n, rows, cols, ordering="amd",
+                                      block_size=bsz,
                                       pivot_epsilon=pivot_epsilon)
             eff_ord = "amd"
         else:
             plan = _splu.splu_analyze(n, rows, cols, ordering="natural",
+                                      block_size=bsz,
                                       pivot_epsilon=pivot_epsilon)
             eff_ord = "natural"
         return SolvePlan(Genie.SPLU, n, rows, cols, splu_plan=plan,

@@ -93,7 +93,8 @@ def rcm_ordering(n, rows, cols) -> np.ndarray:
     return order[::-1].copy()  # reverse CM
 
 
-def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
+def nd_ordering(n, rows, cols, leaf: int = 64,
+                with_regions: bool = False):
     """Nested dissection: recursive BFS-level bisection with the boundary
     level as separator. Eliminating leaves first and separators last gives
     a LOW-DEPTH elimination tree with WIDE independent level sets — the
@@ -103,10 +104,11 @@ def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
     Returns ``order`` with order[k] = old index eliminated at position k.
     """
     from russell_tpu import native
-    nat = native.nd_order(n, rows, cols, leaf)
+    nat = native.nd_order(n, rows, cols, leaf, with_regions=with_regions)
     if nat is not None:
         return nat
     indptr, adj = symmetrize_pattern(n, rows, cols)
+    regions = []
     order_out = np.empty(n, dtype=np.int64)
     pos = 0
     # explicit stack of (verts, phase); separators are emitted after both
@@ -147,10 +149,14 @@ def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
             sep = pending_seps.pop()
             order_out[pos:pos + len(sep)] = sep
             pos += len(sep)
+            if len(sep):
+                regions.append(len(sep))
             continue
         if len(verts) <= leaf:
             order_out[pos:pos + len(verts)] = verts
             pos += len(verts)
+            if len(verts):
+                regions.append(len(verts))
             continue
         lev = bfs_levels(verts)
         vl = lev[verts]
@@ -162,6 +168,8 @@ def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
             # dense-ish subgraph: no useful split, emit as a leaf
             order_out[pos:pos + len(verts)] = verts
             pos += len(verts)
+            if len(verts):
+                regions.append(len(verts))
             continue
         # split level: median vertex position
         counts = np.bincount(rl, minlength=maxlev + 1)
@@ -177,6 +185,8 @@ def nd_ordering(n, rows, cols, leaf: int = 64) -> np.ndarray:
         if len(A):
             stack.append(("split", A))
     assert pos == n
+    if with_regions:
+        return order_out, np.asarray(regions, dtype=np.int64)
     return order_out
 
 

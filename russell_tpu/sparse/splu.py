@@ -82,19 +82,41 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     cols = np.asarray(cols, dtype=np.int64)
     if ordering is None:
         ordering = "amd" if use_amd else "natural"
+    b = max(8, int(block_size))
     if ordering == "nd":
+        # region-ALIGNED slots: every ND region (leaf/separator) starts at
+        # a block boundary, so no block straddles two independent regions
+        # — this is what makes the elimination-tree levels WIDE (leaves of
+        # disjoint subtrees share no block) and the batched numeric phase
+        # effective. Unused slots get a unit diagonal.
         from russell_tpu.sparse.ordering import nd_ordering
+        order, sizes = nd_ordering(n, rows, cols, leaf=2 * b,
+                                   with_regions=True)
+        sizes = np.asarray(sizes, dtype=np.int64)
+        starts = np.concatenate(
+            [[0], np.cumsum(-(-sizes // b) * b)])
+        total_slots = int(starts[-1])
+        region_id = np.repeat(np.arange(len(sizes)), sizes)
+        region_pos0 = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        slot = starts[region_id] + (np.arange(n) - region_pos0[region_id])
         perm_old2new = np.empty(n, dtype=np.int64)
-        perm_old2new[nd_ordering(n, rows, cols)] = np.arange(n)
+        perm_old2new[order] = slot
+        nb = total_slots // b
+        used = np.zeros(nb * b, dtype=bool)
+        used[slot] = True
     elif ordering == "amd":
         perm_old2new = np.empty(n, dtype=np.int64)
         order = mindeg_ordering(n, rows, cols)  # order[i] = old index
         perm_old2new[order] = np.arange(n)
+        nb = -(-n // b)
+        used = np.zeros(nb * b, dtype=bool)
+        used[:n] = True
     else:
         perm_old2new = np.arange(n, dtype=np.int64)
+        nb = -(-n // b)
+        used = np.zeros(nb * b, dtype=bool)
+        used[:n] = True
 
-    b = max(8, int(block_size))
-    nb = -(-n // b)
     r = perm_old2new[rows]
     c = perm_old2new[cols]
     bi = r // b
@@ -153,8 +175,8 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     scatter_idx = ((bi * 0 + np.vectorize(
         lambda i, j: blk_index[(i, j)])(bi, bj)) * b * b
         + (r - bi * b) * b + (c - bj * b)).astype(np.int64)
-    # padding: unit diagonal for rows n..nb*b
-    pad = np.arange(n, nb * b, dtype=np.int64)
+    # padding: unit diagonal for every unused slot
+    pad = np.flatnonzero(~used).astype(np.int64)
     pad_bi = pad // b
     pad_loc = pad - pad_bi * b
     pad_idx = (np.vectorize(lambda k: blk_index[(k, k)])(pad_bi) * b * b
@@ -220,10 +242,22 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     buckets = [[] for _ in range(nlev)]
     for k in range(nb):
         buckets[level[k]].append(k)
-    max_w = max((len(bk) for bk in buckets), default=1) or 1
-    lvl_cols = np.full((nlev, max_w), nb, dtype=np.int64)  # nb = dummy
-    for t, bk in enumerate(buckets):
-        lvl_cols[t, :len(bk)] = bk
+    # chunk wide levels to width W: bounds the batched step's live memory
+    # (gathers + Schur product scale with w*max_l*max_u*b^2) while keeping
+    # correctness — chunks of one level are independent in any order.
+    # W adapts so the Schur product stays under ~128M elements.
+    W = 32
+    while W > 4 and W * max_l * max_u * b * b > 128_000_000:
+        W //= 2
+    chunks = []
+    for bk in buckets:
+        for s in range(0, len(bk), W):
+            chunks.append(bk[s:s + W])
+    chunks = chunks or [[]]
+    max_w = max((len(ck) for ck in chunks), default=1) or 1
+    lvl_cols = np.full((len(chunks), max_w), nb, dtype=np.int64)  # nb=dummy
+    for t, ck in enumerate(chunks):
+        lvl_cols[t, :len(ck)] = ck
 
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
@@ -421,6 +455,63 @@ def _splu_factorize_levels(plan: SpluPlan, blocks, delta, eye, dtype):
     }
 
 
+def _splu_solve_levels(plan: SpluPlan, fac, bp, eye):
+    """Level-batched block forward/backward substitution."""
+    b, nb = plan.b, plan.nb
+    blocks = fac["blocks"]
+    pvecs = fac["pvecs"]
+    dtype = blocks.dtype
+
+    def ext(a):
+        return jnp.asarray(
+            np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)]))
+
+    diag_e = jnp.asarray(np.append(plan.diag_idx, 0))
+    fwd_idx_e = ext(plan.fwd_idx)
+    fwd_col_e = ext(plan.fwd_col)
+    bwd_idx_e = ext(plan.bwd_idx)
+    bwd_col_e = ext(plan.bwd_col)
+    lvl = jnp.asarray(plan.lvl_cols)
+    pvecs_e = jnp.concatenate(
+        [pvecs, jnp.zeros((1, b), dtype=pvecs.dtype)])
+
+    # forward: whole level sets at once (deps point to earlier levels)
+    def fwd(y, cols):
+        Ls = blocks[fwd_idx_e[cols]]            # (w, max_lrow, b, b)
+        yj = y[fwd_col_e[cols]]                 # (w, max_lrow, b)
+        mask = (fwd_idx_e[cols] > 0).astype(dtype)
+        acc = jnp.einsum("waij,waj->wi", Ls * mask[..., None, None], yj,
+                         preferred_element_type=dtype)
+        rhs = jnp.take_along_axis(bp[jnp.minimum(cols, nb - 1)] - acc,
+                                  pvecs_e[cols], axis=1)
+        lus = blocks[diag_e[cols]]
+        L_unit = jnp.tril(lus, -1) + eye
+        yk = jax.vmap(lambda Lk, r: jax.scipy.linalg.solve_triangular(
+            Lk, r, lower=True, unit_diagonal=True))(L_unit, rhs)
+        return y.at[cols].set(yk, mode="drop"), None
+
+    y0 = jnp.zeros((nb, b), dtype=dtype)
+    y, _ = lax.scan(fwd, y0, lvl)
+
+    # backward: levels in reverse (deps point to later levels)
+    def bwd(x, cols):
+        Us = blocks[bwd_idx_e[cols]]
+        xj = x[bwd_col_e[cols]]
+        mask = (bwd_idx_e[cols] > 0).astype(dtype)
+        acc = jnp.einsum("waij,waj->wi", Us * mask[..., None, None], xj,
+                         preferred_element_type=dtype)
+        rhs = y[jnp.minimum(cols, nb - 1)] - acc
+        Uup = jnp.triu(blocks[diag_e[cols]])
+        xk = jax.vmap(lambda Uk, r: jax.scipy.linalg.solve_triangular(
+            Uk, r, lower=False))(Uup, rhs)
+        return x.at[cols].set(xk, mode="drop"), None
+
+    x0 = jnp.zeros((nb, b), dtype=dtype)
+    x, _ = lax.scan(bwd, x0, lvl[::-1])
+    xflat = x.reshape(nb * b)
+    return xflat[jnp.asarray(plan.perm)]
+
+
 def _ipiv_to_perm(piv, b):
     """LAPACK ipiv (sequential row swaps) -> permutation vector."""
     def body(p, i):
@@ -436,7 +527,11 @@ def _ipiv_to_perm(piv, b):
 
 
 def splu_solve(plan: SpluPlan, fac, bvec):
-    """x = A^{-1} b via block forward/backward substitution. Jittable."""
+    """x = A^{-1} b via block forward/backward substitution. Jittable.
+
+    With a level schedule, whole level sets substitute concurrently
+    (batched TRSMs) — sequential depth is the tree depth, not the block
+    count."""
     b, nb = plan.b, plan.nb
     blocks = fac["blocks"]
     pvecs = fac["pvecs"]
@@ -452,6 +547,9 @@ def splu_solve(plan: SpluPlan, fac, bvec):
     bp = jnp.zeros(nb * b, dtype=dtype)
     bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
     bp = bp.reshape(nb, b)
+
+    if plan.lvl_cols is not None and plan.lvl_cols.shape[0] < nb:
+        return _splu_solve_levels(plan, fac, bp, eye)
 
     # forward: y_k = unit-lower^{-1} P_k (b_k - sum_{j<k} L_kj y_j)
     def fwd(y, k):
