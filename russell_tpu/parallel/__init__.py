@@ -22,6 +22,7 @@ from russell_tpu.parallel.batch import batch_factor_solve
 from russell_tpu.parallel.multihost import (initialize_multihost,
                                             shard_banded_factorize,
                                             shard_banded_solve)
+from russell_tpu.parallel.dist_splu import dist_splu_factorize
 
 __all__ = [
     "make_mesh",
@@ -31,4 +32,5 @@ __all__ = [
     "initialize_multihost",
     "shard_banded_factorize",
     "shard_banded_solve",
+    "dist_splu_factorize",
 ]

@@ -273,15 +273,32 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def splu_factorize(plan: SpluPlan, data):
-    """Numeric block LU; ``data`` are the (already permuted-layout) entry
-    values in the original entry order. Jittable for a fixed plan.
+def _trivial_schedule(nb):
+    return np.arange(nb, dtype=np.int64)[:, None]
 
-    When the symbolic phase found elimination-tree parallelism (level sets
-    narrower than the column count), independent block columns of each
-    level are factorized CONCURRENTLY — batched diagonal LUs, panel
-    triangular solves, and one fused Schur scatter-add per level (the MXU
-    analog of MUMPS' multifrontal tree parallelism, L0-threading)."""
+
+def splu_factorize(plan: SpluPlan, data):
+    """Numeric block elimination; ``data`` are the entry values in the
+    original entry order. Jittable for a fixed plan.
+
+    TPU-first design — INVERSE-BASED block elimination (the form every
+    hot op is a batched MXU GEMM):
+
+    - per block column k: ``Dinv_k = D_k^{-1}`` via one batched LU +
+      solve-against-identity (partial pivoting stays INTERNAL to the
+      block; MUMPS-style static perturbation ``delta`` guards tiny
+      pivots, interface_cudss.cu:288-351 strategy),
+    - L panels become ``Lhat_ik = A_ik @ Dinv_k`` (GEMM, stored),
+    - U panels stay as the updated ``A_kj`` (no write at all),
+    - Schur update ``A_ij -= Lhat_ik @ A_kj`` (batched GEMM + one
+      duplicate-safe scatter-add).
+
+    Independent block columns of each elimination-tree level run
+    CONCURRENTLY (the MXU analog of multifrontal tree parallelism); the
+    level schedule comes from the symbolic phase (chunked to bound live
+    memory). Triangular solves and pivot-permutation bookkeeping are
+    eliminated from both the factorization and the solves — on TPU the
+    many tiny sequential TRSMs were the dominant cost."""
     data = jnp.asarray(data)
     dtype = data.dtype
     b, nb, nblk = plan.b, plan.nb, plan.nblk
@@ -295,172 +312,76 @@ def splu_factorize(plan: SpluPlan, data):
     delta = plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))
     eye = jnp.eye(b, dtype=dtype)
 
-    lvl = plan.lvl_cols
-    if lvl is not None and lvl.shape[0] < nb:
-        max_w = lvl.shape[1]
-        max_l = plan.l_idx.shape[1]
-        max_u = plan.u_idx.shape[1]
-        if max_w * max_l * max_u * b * b <= 1_000_000_000:
-            return _splu_factorize_levels(plan, blocks, delta, eye, dtype)
-
-    diag_idx = jnp.asarray(plan.diag_idx)
-    l_idx = jnp.asarray(plan.l_idx)
-    u_idx = jnp.asarray(plan.u_idx)
-    upd_idx = jnp.asarray(plan.upd_idx)
-    lrow_idx = jnp.asarray(plan.lrow_idx)
-
-    def step(carry, k):
-        blocks = carry
-        dk = diag_idx[k]
-        D = blocks[dk]
-        lu, piv = jax.scipy.linalg.lu_factor(D)
-        dmin = jnp.min(jnp.abs(jnp.diagonal(lu)))
-
-        def redo(_):
-            return jax.scipy.linalg.lu_factor(D + delta.astype(dtype) * eye)
-
-        lu, piv = lax.cond(dmin <= delta, redo, lambda _: (lu, piv), None)
-        blocks = blocks.at[dk].set(lu)
-
-        # permutation vector of the local pivoting (piv is LAPACK ipiv-style)
-        pvec = _ipiv_to_perm(piv, b)
-
-        # propagate the row permutation to the L panel of this block row
-        lrow = blocks[lrow_idx[k]]
-        blocks = blocks.at[lrow_idx[k]].set(lrow[:, pvec, :])
-        # re-zero the scratch block (padding rows may have touched it)
-        blocks = blocks.at[0].set(jnp.zeros((b, b), dtype=dtype))
-
-        # U panel: U_kj = unit-lower(lu)^{-1} (P A_kj)
-        Ublk = blocks[u_idx[k]]
-        Up = Ublk[:, pvec, :]
-        L_unit = jnp.tril(lu, -1) + eye
-        Unew = jax.vmap(lambda M: jax.scipy.linalg.solve_triangular(
-            L_unit, M, lower=True, unit_diagonal=True))(Up)
-        blocks = blocks.at[u_idx[k]].set(Unew)
-
-        # L panel: L_ik = A_ik U_kk^{-1}
-        Uup = jnp.triu(lu)
-        Lblk = blocks[l_idx[k]]
-        Lnew = jax.vmap(lambda M: jax.scipy.linalg.solve_triangular(
-            Uup, M.T, lower=False, trans=1).T)(Lblk)
-        blocks = blocks.at[l_idx[k]].set(Lnew)
-        blocks = blocks.at[0].set(jnp.zeros((b, b), dtype=dtype))
-
-        # Schur update: A_ij -= L_ik @ U_kj
-        prod = jnp.einsum("aij,bjk->abik", Lnew, Unew,
-                          preferred_element_type=dtype)
-        blocks = blocks.at[upd_idx[k]].add(-prod)
-        blocks = blocks.at[0].set(jnp.zeros((b, b), dtype=dtype))
-
-        ld = jnp.sum(jnp.log(jnp.maximum(jnp.abs(jnp.diagonal(lu)), 1e-300)))
-        mp = jnp.min(jnp.abs(jnp.diagonal(lu)))
-        return blocks, (pvec, ld, mp)
-
-    blocks, (pvecs, lds, mps) = lax.scan(step, blocks,
-                                         jnp.arange(nb, dtype=jnp.int32))
-    return {
-        "blocks": blocks,
-        "pvecs": pvecs,
-        "logdet": jnp.sum(lds),
-        "phase": jnp.ones((), dtype=dtype),  # sign not tracked; |det| only
-        "min_pivot": jnp.min(mps),
-        "n_perturbed": jnp.zeros((), dtype=jnp.int32),
-    }
-
-
-def _splu_factorize_levels(plan: SpluPlan, blocks, delta, eye, dtype):
-    """Level-parallel numeric phase: one ``lax.scan`` over elimination-tree
-    levels; all block columns of a level are eliminated in one batched
-    step (vmapped LU/TRSM + a single duplicate-safe Schur scatter-add)."""
-    b, nb = plan.b, plan.nb
+    lvl = plan.lvl_cols if plan.lvl_cols is not None \
+        else _trivial_schedule(nb)
 
     def ext(a):
-        return np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)])
+        return jnp.asarray(
+            np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)]))
 
     diag_e = jnp.asarray(np.append(plan.diag_idx, 0))
-    l_e = jnp.asarray(ext(plan.l_idx))
-    u_e = jnp.asarray(ext(plan.u_idx))
-    upd_e = jnp.asarray(ext(plan.upd_idx))
-    lrow_e = jnp.asarray(ext(plan.lrow_idx))
-    lvl = jnp.asarray(plan.lvl_cols)
-
+    l_e = ext(plan.l_idx)
+    u_e = ext(plan.u_idx)
+    upd_e = ext(plan.upd_idx)
+    lvl_j = jnp.asarray(lvl)
     zero_blk = jnp.zeros((b, b), dtype=dtype)
 
-    def lu_pert(D):
+    def inv_pert(D):
         lu, piv = jax.scipy.linalg.lu_factor(D)
         dmin = jnp.min(jnp.abs(jnp.diagonal(lu)))
         lu2, piv2 = jax.scipy.linalg.lu_factor(D + delta.astype(dtype) * eye)
         bad = dmin <= delta
-        return (jnp.where(bad, lu2, lu), jnp.where(bad, piv2, piv))
+        lu = jnp.where(bad, lu2, lu)
+        piv = jnp.where(bad, piv2, piv)
+        Dinv = jax.scipy.linalg.lu_solve((lu, piv), eye)
+        dg = jnp.abs(jnp.diagonal(lu))
+        return Dinv, jnp.sum(jnp.log(jnp.maximum(dg, 1e-300))), jnp.min(dg)
 
     def level_step(carry, cols):
-        blocks, pvecs, ld, mp = carry
-        live = (cols < nb)
-        dk = diag_e[cols]                       # (w,)
-        lus, pivs = jax.vmap(lu_pert)(blocks[dk])
-        blocks = blocks.at[dk].set(lus).at[0].set(zero_blk)
-        pv = jax.vmap(lambda p: _ipiv_to_perm(p, b))(pivs)   # (w, b)
-        pvecs = pvecs.at[cols].set(pv, mode="drop")
+        blocks, ld, mp = carry
+        live = cols < nb
+        dk = diag_e[cols]
+        Dinv, ldw, mpw = jax.vmap(inv_pert)(blocks[dk])
+        blocks = blocks.at[dk].set(Dinv).at[0].set(zero_blk)
 
-        # propagate local row permutations to the L panels of these rows
-        li = lrow_e[cols]                       # (w, max_lrow)
-        lr = blocks[li]                         # (w, max_lrow, b, b)
-        lr = jax.vmap(lambda m, p: m[:, p, :])(lr, pv)
-        blocks = blocks.at[li].set(lr).at[0].set(zero_blk)
+        # L panels: Lhat_ik = A_ik @ Dinv_k  (one batched GEMM)
+        li = l_e[cols]
+        Lhat = jnp.einsum("waij,wjk->waik", blocks[li], Dinv,
+                          preferred_element_type=dtype)
+        blocks = blocks.at[li].set(Lhat).at[0].set(zero_blk)
 
-        # U panels: U_kj = unit-lower(lu)^{-1} (P A_kj)
-        ui = u_e[cols]                          # (w, max_u)
-        Ub = blocks[ui]
-        Ub = jax.vmap(lambda m, p: m[:, p, :])(Ub, pv)
-        L_unit = jnp.tril(lus, -1) + eye
-        Unew = jax.vmap(lambda Lk, Ms: jax.vmap(
-            lambda M: jax.scipy.linalg.solve_triangular(
-                Lk, M, lower=True, unit_diagonal=True))(Ms))(L_unit, Ub)
-        blocks = blocks.at[ui].set(Unew).at[0].set(zero_blk)
-
-        # L panels: L_ik = A_ik U_kk^{-1}
-        Uup = jnp.triu(lus)
-        li2 = l_e[cols]
-        Lb = blocks[li2]
-        Lnew = jax.vmap(lambda Uk, Ms: jax.vmap(
-            lambda M: jax.scipy.linalg.solve_triangular(
-                Uk, M.T, lower=False, trans=1).T)(Ms))(Uup, Lb)
-        blocks = blocks.at[li2].set(Lnew).at[0].set(zero_blk)
-
-        # Schur updates (duplicate targets across columns add correctly)
-        prod = jnp.einsum("waij,wbjk->wabik", Lnew, Unew,
+        # Schur: A_ij -= Lhat_ik @ A_kj (U panels are the updated A_kj)
+        Ublk = blocks[u_e[cols]]
+        prod = jnp.einsum("waij,wbjk->wabik", Lhat, Ublk,
                           preferred_element_type=dtype)
         blocks = blocks.at[upd_e[cols]].add(-prod).at[0].set(zero_blk)
 
-        dg = jnp.abs(jnp.diagonal(lus, axis1=-2, axis2=-1))   # (w, b)
-        ldw = jnp.sum(jnp.log(jnp.maximum(dg, 1e-300)), axis=-1)
         ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
-        mpw = jnp.min(dg, axis=-1)
         mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
-        return (blocks, pvecs, ld, mp), None
+        return (blocks, ld, mp), None
 
     rdtype = jnp.zeros((), dtype=dtype).real.dtype
-    pvecs0 = jnp.zeros((nb, b), dtype=jnp.int32)
-    carry0 = (blocks, pvecs0, jnp.zeros((), rdtype),
-              jnp.asarray(jnp.inf, dtype=rdtype))
-    (blocks, pvecs, ld, mp), _ = lax.scan(level_step, carry0, lvl)
+    carry0 = (blocks, jnp.zeros((), rdtype), jnp.asarray(jnp.inf, rdtype))
+    (blocks, ld, mp), _ = lax.scan(level_step, carry0, lvl_j)
     return {
         "blocks": blocks,
-        "pvecs": pvecs,
         "logdet": ld,
-        "phase": jnp.ones((), dtype=dtype),
+        "phase": jnp.ones((), dtype=dtype),  # sign not tracked; |det| only
         "min_pivot": mp,
         "n_perturbed": jnp.zeros((), dtype=jnp.int32),
     }
 
 
-def _splu_solve_levels(plan: SpluPlan, fac, bp, eye):
-    """Level-batched block forward/backward substitution."""
+def splu_solve(plan: SpluPlan, fac, bvec):
+    """x = A^{-1} b via level-batched block substitution. Jittable.
+
+    Forward: z_k = b_k - sum_{j<k} Lhat_kj z_j (levels ascending).
+    Backward: x_k = Dinv_k (z_k - sum_{j>k} A_kj x_j) (levels
+    descending). All GEMV/GEMM — no triangular solves on device."""
     b, nb = plan.b, plan.nb
     blocks = fac["blocks"]
-    pvecs = fac["pvecs"]
     dtype = blocks.dtype
+    perm = jnp.asarray(plan.perm)
 
     def ext(a):
         return jnp.asarray(
@@ -471,116 +392,39 @@ def _splu_solve_levels(plan: SpluPlan, fac, bp, eye):
     fwd_col_e = ext(plan.fwd_col)
     bwd_idx_e = ext(plan.bwd_idx)
     bwd_col_e = ext(plan.bwd_col)
-    lvl = jnp.asarray(plan.lvl_cols)
-    pvecs_e = jnp.concatenate(
-        [pvecs, jnp.zeros((1, b), dtype=pvecs.dtype)])
+    lvl = plan.lvl_cols if plan.lvl_cols is not None \
+        else _trivial_schedule(nb)
+    lvl_j = jnp.asarray(lvl)
 
-    # forward: whole level sets at once (deps point to earlier levels)
-    def fwd(y, cols):
+    bp = jnp.zeros(nb * b, dtype=dtype)
+    bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
+    bp = bp.reshape(nb, b)
+
+    def fwd(z, cols):
         Ls = blocks[fwd_idx_e[cols]]            # (w, max_lrow, b, b)
-        yj = y[fwd_col_e[cols]]                 # (w, max_lrow, b)
+        zj = z[fwd_col_e[cols]]                 # (w, max_lrow, b)
         mask = (fwd_idx_e[cols] > 0).astype(dtype)
-        acc = jnp.einsum("waij,waj->wi", Ls * mask[..., None, None], yj,
+        acc = jnp.einsum("waij,waj->wi", Ls * mask[..., None, None], zj,
                          preferred_element_type=dtype)
-        rhs = jnp.take_along_axis(bp[jnp.minimum(cols, nb - 1)] - acc,
-                                  pvecs_e[cols], axis=1)
-        lus = blocks[diag_e[cols]]
-        L_unit = jnp.tril(lus, -1) + eye
-        yk = jax.vmap(lambda Lk, r: jax.scipy.linalg.solve_triangular(
-            Lk, r, lower=True, unit_diagonal=True))(L_unit, rhs)
-        return y.at[cols].set(yk, mode="drop"), None
+        zk = bp[jnp.minimum(cols, nb - 1)] - acc
+        return z.at[cols].set(zk, mode="drop"), None
 
-    y0 = jnp.zeros((nb, b), dtype=dtype)
-    y, _ = lax.scan(fwd, y0, lvl)
+    z0 = jnp.zeros((nb, b), dtype=dtype)
+    z, _ = lax.scan(fwd, z0, lvl_j)
 
-    # backward: levels in reverse (deps point to later levels)
     def bwd(x, cols):
         Us = blocks[bwd_idx_e[cols]]
         xj = x[bwd_col_e[cols]]
         mask = (bwd_idx_e[cols] > 0).astype(dtype)
         acc = jnp.einsum("waij,waj->wi", Us * mask[..., None, None], xj,
                          preferred_element_type=dtype)
-        rhs = y[jnp.minimum(cols, nb - 1)] - acc
-        Uup = jnp.triu(blocks[diag_e[cols]])
-        xk = jax.vmap(lambda Uk, r: jax.scipy.linalg.solve_triangular(
-            Uk, r, lower=False))(Uup, rhs)
+        rhs = z[jnp.minimum(cols, nb - 1)] - acc
+        Dinv = blocks[diag_e[cols]]
+        xk = jnp.einsum("wij,wj->wi", Dinv, rhs,
+                        preferred_element_type=dtype)
         return x.at[cols].set(xk, mode="drop"), None
 
     x0 = jnp.zeros((nb, b), dtype=dtype)
-    x, _ = lax.scan(bwd, x0, lvl[::-1])
-    xflat = x.reshape(nb * b)
-    return xflat[jnp.asarray(plan.perm)]
-
-
-def _ipiv_to_perm(piv, b):
-    """LAPACK ipiv (sequential row swaps) -> permutation vector."""
-    def body(p, i):
-        j = piv[i]
-        pi = p[i]
-        pj = p[j]
-        p = p.at[i].set(pj).at[j].set(pi)
-        return p, None
-
-    p0 = jnp.arange(b, dtype=piv.dtype)
-    p, _ = lax.scan(body, p0, jnp.arange(b, dtype=jnp.int32))
-    return p
-
-
-def splu_solve(plan: SpluPlan, fac, bvec):
-    """x = A^{-1} b via block forward/backward substitution. Jittable.
-
-    With a level schedule, whole level sets substitute concurrently
-    (batched TRSMs) — sequential depth is the tree depth, not the block
-    count."""
-    b, nb = plan.b, plan.nb
-    blocks = fac["blocks"]
-    pvecs = fac["pvecs"]
-    dtype = blocks.dtype
-    perm = jnp.asarray(plan.perm)
-    diag_idx = jnp.asarray(plan.diag_idx)
-    fwd_idx = jnp.asarray(plan.fwd_idx)
-    fwd_col = jnp.asarray(plan.fwd_col)
-    bwd_idx = jnp.asarray(plan.bwd_idx)
-    bwd_col = jnp.asarray(plan.bwd_col)
-    eye = jnp.eye(b, dtype=dtype)
-
-    bp = jnp.zeros(nb * b, dtype=dtype)
-    bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
-    bp = bp.reshape(nb, b)
-
-    if plan.lvl_cols is not None and plan.lvl_cols.shape[0] < nb:
-        return _splu_solve_levels(plan, fac, bp, eye)
-
-    # forward: y_k = unit-lower^{-1} P_k (b_k - sum_{j<k} L_kj y_j)
-    def fwd(y, k):
-        Ls = blocks[fwd_idx[k]]                # (max_lrow, b, b)
-        yj = y[fwd_col[k]]                     # (max_lrow, b)
-        mask = (fwd_idx[k] > 0).astype(dtype)  # 0 = scratch
-        acc = jnp.einsum("aij,aj->i", Ls * mask[:, None, None], yj,
-                         preferred_element_type=dtype)
-        rhs = (bp[k] - acc)[pvecs[k]]
-        lu = blocks[diag_idx[k]]
-        L_unit = jnp.tril(lu, -1) + eye
-        yk = jax.scipy.linalg.solve_triangular(L_unit, rhs, lower=True,
-                                               unit_diagonal=True)
-        return y.at[k].set(yk), None
-
-    y0 = jnp.zeros((nb, b), dtype=dtype)
-    y, _ = lax.scan(fwd, y0, jnp.arange(nb, dtype=jnp.int32))
-
-    # backward: x_k = U_kk^{-1} (y_k - sum_{j>k} U_kj x_j)
-    def bwd(x, k):
-        Us = blocks[bwd_idx[k]]
-        xj = x[bwd_col[k]]
-        mask = (bwd_idx[k] > 0).astype(dtype)
-        acc = jnp.einsum("aij,aj->i", Us * mask[:, None, None], xj,
-                         preferred_element_type=dtype)
-        rhs = y[k] - acc
-        Uup = jnp.triu(blocks[diag_idx[k]])
-        xk = jax.scipy.linalg.solve_triangular(Uup, rhs, lower=False)
-        return x.at[k].set(xk), None
-
-    x0 = jnp.zeros((nb, b), dtype=dtype)
-    x, _ = lax.scan(bwd, x0, jnp.arange(nb - 1, -1, -1, dtype=jnp.int32))
+    x, _ = lax.scan(bwd, x0, lvl_j[::-1])
     xflat = x.reshape(nb * b)
     return xflat[perm]

@@ -57,3 +57,27 @@ def test_distributed_bcr_factorization(mesh):
     x = np.asarray(shard_banded_solve(mesh, plan, fac, jnp.asarray(rhs)))
     resid = np.max(np.abs(coo.as_dense() @ x - rhs))
     assert resid < 1e-10
+
+
+def test_dist_splu_factorize_matches_single_chip():
+    # level-sharded distributed SPLU == single-chip factorization
+    import jax.numpy as jnp
+    from russell_tpu.parallel import make_mesh, dist_splu_factorize
+    from russell_tpu.sparse import samples as _samples
+    from russell_tpu.sparse import splu as _splu
+
+    coo = _samples.laplacian_2d(16)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    plan = _splu.splu_analyze(n, ii, jj, block_size=16, ordering="nd")
+    mesh = make_mesh(8)
+    fac_d = dist_splu_factorize(mesh, plan, jnp.asarray(vv))
+    fac_s = _splu.splu_factorize(plan, jnp.asarray(vv))
+    assert np.allclose(np.asarray(fac_d["blocks"]),
+                       np.asarray(fac_s["blocks"]), atol=1e-11)
+    b = np.linspace(1.0, 2.0, n)
+    x = _splu.splu_solve(plan, fac_d, jnp.asarray(b))
+    A = np.asarray(coo.as_dense())
+    # raw (refinement-free) residual, relative to the matrix scale
+    scale = np.max(np.abs(A)) * np.max(np.abs(np.asarray(x)))
+    assert np.max(np.abs(A @ np.asarray(x) - b)) / scale < 1e-9
