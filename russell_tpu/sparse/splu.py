@@ -67,6 +67,10 @@ class SpluPlan:
     # MUMPS' multifrontal tree parallelism, here batched onto the MXU).
     # lvl_cols[t] lists the columns of level t, padded with nb (dummy).
     lvl_cols: Optional[np.ndarray] = None   # (nlev, max_w)
+    # packed numeric schedule: COMPACT per-row work lists (no per-column
+    # padding) — three row types executed by one lax.switch inside one
+    # lax.scan. Built by _build_packed_schedule.
+    packed: Optional[dict] = None
 
 
 def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
@@ -259,13 +263,104 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     for t, ck in enumerate(chunks):
         lvl_cols[t, :len(ck)] = ck
 
+    packed = _build_packed_schedule(nb, nblk, buckets, lower, upper,
+                                    blk_index)
+
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
         scatter_idx=scatter_idx, pad_idx=pad_idx, diag_idx=diag_idx,
         l_idx=l_idx, u_idx=u_idx, upd_idx=upd_idx, lrow_idx=lrow_idx,
         fwd_idx=fwd_idx, fwd_col=fwd_col, bwd_idx=bwd_idx, bwd_col=bwd_col,
         pivot_epsilon=pivot_epsilon, fill_blocks=fill_blocks,
-        lvl_cols=lvl_cols)
+        lvl_cols=lvl_cols, packed=packed)
+
+
+def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index):
+    """COMPACT static numeric schedule: one row of work per scan step.
+
+    Three row types (dispatched with lax.switch at run time):
+      0 INV — invert up to Winv diagonal blocks of one level
+      1 PAN — form up to Lcap L-panels  Lhat_ik = A_ik @ Dinv_k
+      2 CTR — up to Ccap Schur contributions Lhat_ik @ A_kj, combined by
+              a sorted segment_sum and ONE duplicate-free scatter-add
+
+    Every index list holds only REAL work items (plus bounded row padding)
+    — this is what keeps the TPU away from its slow scatter/gather paths:
+    scatters are in-bounds-unique (pads use distinct out-of-bounds ids,
+    mode="drop") and segment ids are sorted."""
+    # caps adapt to the problem so small cases stay small
+    tot_pan = sum(len(lower[k]) for k in range(nb))
+    tot_ctr = sum(len(lower[k]) * len(upper[k]) for k in range(nb))
+    Winv = int(min(64, max(8, nb)))
+    Lcap = int(min(1024, max(32, tot_pan or 1)))
+    Ccap = int(min(4096, max(64, tot_ctr or 1)))
+    Ucap = int(min(2048, max(64, tot_ctr or 1)))
+
+    rows = []  # list of (type, payload)
+    for cols in buckets:
+        if not cols:
+            continue
+        for s in range(0, len(cols), Winv):
+            rows.append((0, cols[s:s + Winv]))
+        pan = [(blk_index[(i, k)], blk_index[(k, k)])
+               for k in cols for i in lower[k]]
+        for s in range(0, len(pan), Lcap):
+            rows.append((1, pan[s:s + Lcap]))
+        ctr = [(blk_index[(i, k)], blk_index[(k, j)], blk_index[(i, j)])
+               for k in cols for i in lower[k] for j in upper[k]]
+        ctr.sort(key=lambda t: t[2])
+        # greedy chunks bounded by Ccap items and Ucap unique targets
+        start = 0
+        while start < len(ctr):
+            end = start
+            uniq = 0
+            last = -1
+            while end < len(ctr) and end - start < Ccap:
+                if ctr[end][2] != last:
+                    if uniq == Ucap:
+                        break
+                    uniq += 1
+                    last = ctr[end][2]
+                end += 1
+            rows.append((2, ctr[start:end]))
+            start = end
+
+    nrows = max(len(rows), 1)
+    r_type = np.zeros(nrows, dtype=np.int32)
+    inv_cols = np.full((nrows, Winv), nb, dtype=np.int32)
+    pan_src = np.zeros((nrows, Lcap), dtype=np.int32)
+    pan_dinv = np.zeros((nrows, Lcap), dtype=np.int32)
+    pan_dst = np.tile(nblk + np.arange(Lcap, dtype=np.int32), (nrows, 1))
+    c_l = np.zeros((nrows, Ccap), dtype=np.int32)
+    c_u = np.zeros((nrows, Ccap), dtype=np.int32)
+    c_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
+    c_tgt = np.tile(nblk + np.arange(Ucap, dtype=np.int32), (nrows, 1))
+    for r, (rt, payload) in enumerate(rows):
+        r_type[r] = rt
+        if rt == 0:
+            inv_cols[r, :len(payload)] = payload
+        elif rt == 1:
+            for a, (src, dv) in enumerate(payload):
+                pan_src[r, a] = src
+                pan_dinv[r, a] = dv
+                pan_dst[r, a] = src
+        else:
+            seg = -1
+            last = -1
+            for a, (ls, us, tg) in enumerate(payload):
+                if tg != last:
+                    seg += 1
+                    last = tg
+                    c_tgt[r, seg] = tg
+                c_l[r, a] = ls
+                c_u[r, a] = us
+                c_seg[r, a] = seg
+    return {
+        "r_type": r_type, "inv_cols": inv_cols,
+        "pan_src": pan_src, "pan_dinv": pan_dinv, "pan_dst": pan_dst,
+        "c_l": c_l, "c_u": c_u, "c_seg": c_seg, "c_tgt": c_tgt,
+        "Winv": Winv, "Lcap": Lcap, "Ccap": Ccap, "Ucap": Ucap,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -277,31 +372,86 @@ def _trivial_schedule(nb):
     return np.arange(nb, dtype=np.int64)[:, None]
 
 
+def _gj_inv(D, delta):
+    """Batched Gauss-Jordan inverse with MUMPS-style static pivot clamping
+    (no row interchanges; tiny pivots replaced by ±delta, counted and
+    reported — interface_cudss.cu:288-351 strategy). Elementwise-only, so
+    it avoids XLA:TPU's sequential LU custom call.
+
+    Returns (Dinv, log|det|, min|pivot|, n_perturbed) per batch lane."""
+    w, m = D.shape[0], D.shape[-1]
+    dtype = D.dtype
+    rdt = jnp.zeros((), dtype=dtype).real.dtype
+    M = D
+    V = jnp.broadcast_to(jnp.eye(m, dtype=dtype), D.shape)
+    ld = jnp.zeros(w, dtype=rdt)
+    mp = jnp.full(w, jnp.inf, dtype=rdt)
+    npert = jnp.zeros(w, dtype=jnp.int32)
+    d = delta.astype(rdt)
+    for j in range(m):
+        pj = M[:, j, j]
+        ap = jnp.abs(pj)
+        mp = jnp.minimum(mp, ap)
+        bad = ap <= d
+        npert = npert + bad.astype(jnp.int32)
+        unit = jnp.where(ap > 0, pj / jnp.maximum(ap, 1e-300).astype(dtype),
+                         jnp.ones((), dtype=dtype))
+        pj = jnp.where(bad, unit * d.astype(dtype), pj)
+        ld = ld + jnp.log(jnp.maximum(jnp.abs(pj), 1e-300))
+        Mj = M[:, j, :] / pj[:, None]
+        Vj = V[:, j, :] / pj[:, None]
+        f = M[:, :, j].at[:, j].set(0)
+        M = (M - f[:, :, None] * Mj[:, None, :]).at[:, j, :].set(Mj)
+        V = (V - f[:, :, None] * Vj[:, None, :]).at[:, j, :].set(Vj)
+    return V, ld, mp, npert
+
+
+def _inv_block(D, delta):
+    """Batched inverse of (w, m, m) via recursive 2x2 Schur splitting down
+    to a Gauss-Jordan base — the hot path is MXU matmuls.
+    log|det D| = log|det A| + log|det S|."""
+    m = D.shape[-1]
+    if m <= 32:
+        return _gj_inv(D, delta)
+    h = m // 2
+    A, B = D[:, :h, :h], D[:, :h, h:]
+    C, Dd = D[:, h:, :h], D[:, h:, h:]
+    Ai, ld1, mp1, np1 = _inv_block(A, delta)
+    AiB = Ai @ B
+    CAi = C @ Ai
+    S = Dd - C @ AiB
+    Si, ld2, mp2, np2 = _inv_block(S, delta)
+    SiCAi = Si @ CAi
+    X11 = Ai + AiB @ SiCAi
+    X12 = -AiB @ Si
+    X21 = -SiCAi
+    top = jnp.concatenate([X11, X12], axis=-1)
+    bot = jnp.concatenate([X21, Si], axis=-1)
+    return (jnp.concatenate([top, bot], axis=-2), ld1 + ld2,
+            jnp.minimum(mp1, mp2), np1 + np2)
+
+
 def splu_factorize(plan: SpluPlan, data):
-    """Numeric block elimination; ``data`` are the entry values in the
-    original entry order. Jittable for a fixed plan.
+    """Numeric block elimination over the PACKED schedule; ``data`` are the
+    entry values in the original entry order. Jittable for a fixed plan.
 
-    TPU-first design — INVERSE-BASED block elimination (the form every
-    hot op is a batched MXU GEMM):
+    TPU-first design — inverse-based elimination where every hot op is a
+    batched MXU GEMM and every scatter is compact, in-bounds-unique, and
+    (for the Schur combine) a sorted segment_sum:
 
-    - per block column k: ``Dinv_k = D_k^{-1}`` via one batched LU +
-      solve-against-identity (partial pivoting stays INTERNAL to the
-      block; MUMPS-style static perturbation ``delta`` guards tiny
-      pivots, interface_cudss.cu:288-351 strategy),
-    - L panels become ``Lhat_ik = A_ik @ Dinv_k`` (GEMM, stored),
-    - U panels stay as the updated ``A_kj`` (no write at all),
-    - Schur update ``A_ij -= Lhat_ik @ A_kj`` (batched GEMM + one
-      duplicate-safe scatter-add).
+    - INV rows:  Dinv_k = D_k^{-1} (recursive Schur/Gauss-Jordan, static
+      pivot clamping — no XLA LU custom call, no pivot vectors),
+    - PAN rows:  Lhat_ik = A_ik @ Dinv_k,
+    - CTR rows:  segment-summed  -Lhat_ik @ A_kj  scatter-added into the
+      target blocks.
 
     Independent block columns of each elimination-tree level run
-    CONCURRENTLY (the MXU analog of multifrontal tree parallelism); the
-    level schedule comes from the symbolic phase (chunked to bound live
-    memory). Triangular solves and pivot-permutation bookkeeping are
-    eliminated from both the factorization and the solves — on TPU the
-    many tiny sequential TRSMs were the dominant cost."""
+    concurrently (multifrontal tree parallelism on the MXU); U panels are
+    the updated A_kj and are never rewritten."""
     data = jnp.asarray(data)
     dtype = data.dtype
     b, nb, nblk = plan.b, plan.nb, plan.nblk
+    pk = plan.packed
 
     flat = jnp.zeros(nblk * b * b, dtype=dtype)
     if len(plan.pad_idx):
@@ -310,65 +460,68 @@ def splu_factorize(plan: SpluPlan, data):
     blocks = flat.reshape(nblk, b, b)
 
     delta = plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))
-    eye = jnp.eye(b, dtype=dtype)
+    rdt = jnp.zeros((), dtype=dtype).real.dtype
 
-    lvl = plan.lvl_cols if plan.lvl_cols is not None \
-        else _trivial_schedule(nb)
+    diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
+    diag_s = jnp.asarray(np.append(plan.diag_idx, nblk).astype(np.int32))
+    Ucap = pk["Ucap"]
 
-    def ext(a):
-        return jnp.asarray(
-            np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)]))
+    xs = {k: jnp.asarray(pk[k]) for k in
+          ("r_type", "inv_cols", "pan_src", "pan_dinv", "pan_dst",
+           "c_l", "c_u", "c_seg", "c_tgt")}
 
-    diag_e = jnp.asarray(np.append(plan.diag_idx, 0))
-    l_e = ext(plan.l_idx)
-    u_e = ext(plan.u_idx)
-    upd_e = ext(plan.upd_idx)
-    lvl_j = jnp.asarray(lvl)
-    zero_blk = jnp.zeros((b, b), dtype=dtype)
-
-    def inv_pert(D):
-        lu, piv = jax.scipy.linalg.lu_factor(D)
-        dmin = jnp.min(jnp.abs(jnp.diagonal(lu)))
-        lu2, piv2 = jax.scipy.linalg.lu_factor(D + delta.astype(dtype) * eye)
-        bad = dmin <= delta
-        lu = jnp.where(bad, lu2, lu)
-        piv = jnp.where(bad, piv2, piv)
-        Dinv = jax.scipy.linalg.lu_solve((lu, piv), eye)
-        dg = jnp.abs(jnp.diagonal(lu))
-        return Dinv, jnp.sum(jnp.log(jnp.maximum(dg, 1e-300))), jnp.min(dg)
-
-    def level_step(carry, cols):
-        blocks, ld, mp = carry
+    def do_inv(carry):
+        blocks, ld, mp, npert, x = carry
+        cols = x["inv_cols"]
+        D = blocks[diag_g[cols]]
+        Dinv, ldw, mpw, npw = _inv_block(D, delta)
         live = cols < nb
-        dk = diag_e[cols]
-        Dinv, ldw, mpw = jax.vmap(inv_pert)(blocks[dk])
-        blocks = blocks.at[dk].set(Dinv).at[0].set(zero_blk)
-
-        # L panels: Lhat_ik = A_ik @ Dinv_k  (one batched GEMM)
-        li = l_e[cols]
-        Lhat = jnp.einsum("waij,wjk->waik", blocks[li], Dinv,
-                          preferred_element_type=dtype)
-        blocks = blocks.at[li].set(Lhat).at[0].set(zero_blk)
-
-        # Schur: A_ij -= Lhat_ik @ A_kj (U panels are the updated A_kj)
-        Ublk = blocks[u_e[cols]]
-        prod = jnp.einsum("waij,wbjk->wabik", Lhat, Ublk,
-                          preferred_element_type=dtype)
-        blocks = blocks.at[upd_e[cols]].add(-prod).at[0].set(zero_blk)
-
+        blocks = blocks.at[diag_s[cols]].set(
+            Dinv, mode="drop", unique_indices=True)
         ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
         mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
-        return (blocks, ld, mp), None
+        npert = npert + jnp.sum(jnp.where(live, npw, 0)).astype(jnp.int32)
+        return blocks, ld, mp, npert, x
 
-    rdtype = jnp.zeros((), dtype=dtype).real.dtype
-    carry0 = (blocks, jnp.zeros((), rdtype), jnp.asarray(jnp.inf, rdtype))
-    (blocks, ld, mp), _ = lax.scan(level_step, carry0, lvl_j)
+    def do_pan(carry):
+        blocks, ld, mp, npert, x = carry
+        A = blocks[x["pan_src"]]
+        Dv = blocks[x["pan_dinv"]]
+        Lh = jnp.einsum("cij,cjk->cik", A, Dv,
+                        preferred_element_type=dtype)
+        blocks = blocks.at[x["pan_dst"]].set(
+            Lh, mode="drop", unique_indices=True)
+        return blocks, ld, mp, npert, x
+
+    def do_ctr(carry):
+        blocks, ld, mp, npert, x = carry
+        Ls = blocks[x["c_l"]]
+        Us = blocks[x["c_u"]]
+        prod = jnp.einsum("cij,cjk->cik", Ls, Us,
+                          preferred_element_type=dtype)
+        summed = jax.ops.segment_sum(prod, x["c_seg"],
+                                     num_segments=Ucap + 1,
+                                     indices_are_sorted=True)
+        blocks = blocks.at[x["c_tgt"]].add(
+            -summed[:Ucap], mode="drop", unique_indices=True)
+        return blocks, ld, mp, npert, x
+
+    def row_step(carry, x):
+        blocks, ld, mp, npert = carry
+        blocks, ld, mp, npert, _ = lax.switch(
+            x["r_type"], [do_inv, do_pan, do_ctr],
+            (blocks, ld, mp, npert, x))
+        return (blocks, ld, mp, npert), None
+
+    carry0 = (blocks, jnp.zeros((), rdt), jnp.asarray(jnp.inf, rdt),
+              jnp.zeros((), jnp.int32))
+    (blocks, ld, mp, npert), _ = lax.scan(row_step, carry0, xs)
     return {
         "blocks": blocks,
         "logdet": ld,
         "phase": jnp.ones((), dtype=dtype),  # sign not tracked; |det| only
         "min_pivot": mp,
-        "n_perturbed": jnp.zeros((), dtype=jnp.int32),
+        "n_perturbed": npert,
     }
 
 
