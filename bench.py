@@ -39,6 +39,10 @@ def main() -> None:
     system, t0, yy0, args = samples.brusselator_pde(alpha, npoint)
     params = Params(Method.RADAU5)
     params.set_tolerances(1e-4, 1e-4)
+    genie_env = os.environ.get("BENCH_GENIE")
+    if genie_env:
+        from russell_tpu.sparse.enums import Genie
+        params.newton.genie = Genie[genie_env.upper()]
 
     solver = OdeSolver(params, system)
     t_start = time.perf_counter()

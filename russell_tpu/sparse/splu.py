@@ -265,6 +265,9 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
 
     packed = _build_packed_schedule(nb, nblk, buckets, lower, upper,
                                     blk_index)
+    packed["fwd"] = _build_packed_solve(nb, nblk, buckets, left)
+    packed["bwd"] = _build_packed_solve(nb, nblk, list(reversed(buckets)),
+                                        right)
 
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
@@ -361,6 +364,58 @@ def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index):
         "c_l": c_l, "c_u": c_u, "c_seg": c_seg, "c_tgt": c_tgt,
         "Winv": Winv, "Lcap": Lcap, "Ccap": Ccap, "Ucap": Ucap,
     }
+
+
+def _build_packed_solve(nb, nblk, buckets, neigh):
+    """Packed substitution schedule for one direction.
+
+    ``neigh[k]`` lists (j, storage) couplings whose solution components
+    are ready strictly before k's level in this direction. Each row
+    updates up to Ucap_s target block rows with up to Ccap_s gathered
+    couplings, combined by a sorted segment_sum; every level col appears
+    as a target exactly once (zero-contribution targets get a zero sum).
+    """
+    tot = sum(len(neigh[k]) for k in range(nb))
+    Ccap = int(min(4096, max(64, tot or 1)))
+    Ccap = max(Ccap, max((len(neigh[k]) for k in range(nb)), default=1))
+    Ucap = int(min(1024, max(32, nb)))
+
+    rows = []  # each: list of (tgt, [(storage, col), ...]) complete groups
+    for cols in buckets:
+        if not cols:
+            continue
+        cur = []
+        n_items = 0
+        for k in cols:
+            items = sorted(neigh[k])
+            if cur and (n_items + len(items) > Ccap or len(cur) == Ucap):
+                rows.append(cur)
+                cur = []
+                n_items = 0
+            cur.append((k, items))
+            n_items += len(items)
+        if cur:
+            rows.append(cur)
+
+    nrows = max(len(rows), 1)
+    s_src = np.zeros((nrows, Ccap), dtype=np.int32)
+    s_col = np.zeros((nrows, Ccap), dtype=np.int32)
+    s_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
+    s_tgt_g = np.zeros((nrows, Ucap), dtype=np.int32)   # gather (pad 0)
+    s_tgt_s = np.tile(nb + np.arange(Ucap, dtype=np.int32),
+                      (nrows, 1))                        # scatter (pad OOB)
+    for r, groups in enumerate(rows):
+        a = 0
+        for seg, (k, items) in enumerate(groups):
+            s_tgt_g[r, seg] = k
+            s_tgt_s[r, seg] = k
+            for (j, st) in items:
+                s_src[r, a] = st
+                s_col[r, a] = j
+                s_seg[r, a] = seg
+                a += 1
+    return {"src": s_src, "col": s_col, "seg": s_seg,
+            "tgt_g": s_tgt_g, "tgt_s": s_tgt_s, "Ucap": Ucap}
 
 
 # ---------------------------------------------------------------------------
@@ -526,58 +581,50 @@ def splu_factorize(plan: SpluPlan, data):
 
 
 def splu_solve(plan: SpluPlan, fac, bvec):
-    """x = A^{-1} b via level-batched block substitution. Jittable.
+    """x = A^{-1} b via packed block substitution. Jittable.
 
-    Forward: z_k = b_k - sum_{j<k} Lhat_kj z_j (levels ascending).
-    Backward: x_k = Dinv_k (z_k - sum_{j>k} A_kj x_j) (levels
-    descending). All GEMV/GEMM — no triangular solves on device."""
+    Forward: z_k = b_k - sum_{j<k} Lhat_kj z_j (tree levels ascending).
+    Backward: x_k = Dinv_k (z_k - sum_{j>k} A_kj x_j) (descending).
+    Each scan row combines a compact gather of couplings with a sorted
+    segment_sum and one in-bounds-unique scatter — all GEMV/GEMM, no
+    triangular solves on device."""
     b, nb = plan.b, plan.nb
     blocks = fac["blocks"]
     dtype = blocks.dtype
     perm = jnp.asarray(plan.perm)
-
-    def ext(a):
-        return jnp.asarray(
-            np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)]))
-
-    diag_e = jnp.asarray(np.append(plan.diag_idx, 0))
-    fwd_idx_e = ext(plan.fwd_idx)
-    fwd_col_e = ext(plan.fwd_col)
-    bwd_idx_e = ext(plan.bwd_idx)
-    bwd_col_e = ext(plan.bwd_col)
-    lvl = plan.lvl_cols if plan.lvl_cols is not None \
-        else _trivial_schedule(nb)
-    lvl_j = jnp.asarray(lvl)
+    diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
 
     bp = jnp.zeros(nb * b, dtype=dtype)
     bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
     bp = bp.reshape(nb, b)
 
-    def fwd(z, cols):
-        Ls = blocks[fwd_idx_e[cols]]            # (w, max_lrow, b, b)
-        zj = z[fwd_col_e[cols]]                 # (w, max_lrow, b)
-        mask = (fwd_idx_e[cols] > 0).astype(dtype)
-        acc = jnp.einsum("waij,waj->wi", Ls * mask[..., None, None], zj,
-                         preferred_element_type=dtype)
-        zk = bp[jnp.minimum(cols, nb - 1)] - acc
-        return z.at[cols].set(zk, mode="drop"), None
+    def run(direction, rhs_rows, apply_dinv):
+        pk = plan.packed[direction]
+        Ucap = pk["Ucap"]
+        xs = {k: jnp.asarray(pk[k]) for k in
+              ("src", "col", "seg", "tgt_g", "tgt_s")}
 
-    z0 = jnp.zeros((nb, b), dtype=dtype)
-    z, _ = lax.scan(fwd, z0, lvl_j)
+        def row(v, x):
+            S = blocks[x["src"]]               # (C, b, b); pad -> zeros
+            vj = v[x["col"]]                   # (C, b)
+            prod = jnp.einsum("cij,cj->ci", S, vj,
+                              preferred_element_type=dtype)
+            summed = jax.ops.segment_sum(prod, x["seg"],
+                                         num_segments=Ucap + 1,
+                                         indices_are_sorted=True)
+            r = rhs_rows[x["tgt_g"]] - summed[:Ucap]
+            if apply_dinv:
+                Dv = blocks[diag_g[x["tgt_g"]]]
+                r = jnp.einsum("cij,cj->ci", Dv, r,
+                               preferred_element_type=dtype)
+            return v.at[x["tgt_s"]].set(r, mode="drop",
+                                        unique_indices=True), None
 
-    def bwd(x, cols):
-        Us = blocks[bwd_idx_e[cols]]
-        xj = x[bwd_col_e[cols]]
-        mask = (bwd_idx_e[cols] > 0).astype(dtype)
-        acc = jnp.einsum("waij,waj->wi", Us * mask[..., None, None], xj,
-                         preferred_element_type=dtype)
-        rhs = z[jnp.minimum(cols, nb - 1)] - acc
-        Dinv = blocks[diag_e[cols]]
-        xk = jnp.einsum("wij,wj->wi", Dinv, rhs,
-                        preferred_element_type=dtype)
-        return x.at[cols].set(xk, mode="drop"), None
+        v0 = jnp.zeros((nb, b), dtype=dtype)
+        v, _ = lax.scan(row, v0, xs)
+        return v
 
-    x0 = jnp.zeros((nb, b), dtype=dtype)
-    x, _ = lax.scan(bwd, x0, lvl_j[::-1])
+    z = run("fwd", bp, False)
+    x = run("bwd", z, True)
     xflat = x.reshape(nb * b)
     return xflat[perm]
