@@ -6,17 +6,22 @@ Reference role: the JOB_ANALYZE / JOB_FACTORIZE split of
 russell_sparse/c_code/interface_mumps.c and the symbolic/numeric phases of
 interface_umfpack.c. Design (SURVEY.md §7 step 4):
 
-- **symbolic (host)**: fill-reducing ordering (approximate minimum degree),
-  partition into uniform b x b blocks (supernode-style), symbolic block
-  LU to enumerate fill blocks, and a fully static elimination schedule
-  (padded per-step index lists).
-- **numeric (device, jittable)**: one ``lax.scan`` over elimination steps;
-  each step is dense b x b work on the MXU — diagonal LU (local partial
-  pivoting + MUMPS-style static pivot perturbation), batched triangular
-  solves for the L/U panels, and one batched GEMM + scatter-subtract for
-  the Schur update. Pivot permutations are propagated to the already-
-  computed L panel of the same block row.
-- **solve (device)**: block forward/backward substitution as two scans.
+- **symbolic (host)**: fill-reducing ordering — nested dissection
+  (region-aligned blocks -> wide elimination-tree levels) or minimum
+  degree — uniform b x b block partition, symbolic block fill, and a
+  fully static PACKED numeric schedule: compact per-row work lists for
+  diagonal inversions / L-panel GEMMs / segment-summed Schur updates,
+  plus packed substitution schedules for the solves.
+- **numeric (device, jittable)**: one ``lax.scan`` over schedule rows
+  dispatched with ``lax.switch``; every hot op is a batched MXU GEMM.
+  Diagonal blocks are INVERTED (recursive Schur splitting down to a
+  Gauss-Jordan base with MUMPS-style static pivot clamping — no XLA LU
+  custom call, no pivot vectors); L panels become A_ik @ Dinv_k; Schur
+  contributions are combined with a sorted segment_sum and ONE
+  in-bounds-unique scatter-add per row (XLA:TPU's scatter fast path).
+- **solve (device)**: packed forward/backward block substitution — rows
+  of gathered couplings, segment-summed, with a Dinv GEMV on the way
+  back; no triangular solves anywhere on the device.
 
 Accuracy on unsymmetric benchmark matrices is recovered with equilibration
 plus iterative refinement (factor.py applies both), following the
@@ -264,10 +269,10 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
         lvl_cols[t, :len(ck)] = ck
 
     packed = _build_packed_schedule(nb, nblk, buckets, lower, upper,
-                                    blk_index)
-    packed["fwd"] = _build_packed_solve(nb, nblk, buckets, left)
+                                    blk_index, b)
+    packed["fwd"] = _build_packed_solve(nb, nblk, buckets, left, b)
     packed["bwd"] = _build_packed_solve(nb, nblk, list(reversed(buckets)),
-                                        right)
+                                        right, b)
 
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
@@ -278,7 +283,7 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
         lvl_cols=lvl_cols, packed=packed)
 
 
-def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index):
+def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index, bsz):
     """COMPACT static numeric schedule: one row of work per scan step.
 
     Three row types (dispatched with lax.switch at run time):
@@ -291,13 +296,17 @@ def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index):
     — this is what keeps the TPU away from its slow scatter/gather paths:
     scatters are in-bounds-unique (pads use distinct out-of-bounds ids,
     mode="drop") and segment ids are sorted."""
-    # caps adapt to the problem so small cases stay small
+    # caps adapt to the problem (small cases stay small) and to the block
+    # size (a row's gather/einsum buffer is cap * b^2 * dtype — target
+    # ~64 MB f32 per buffer so smaller blocks carry MORE items per row)
     tot_pan = sum(len(lower[k]) for k in range(nb))
     tot_ctr = sum(len(lower[k]) * len(upper[k]) for k in range(nb))
-    Winv = int(min(64, max(8, nb)))
-    Lcap = int(min(1024, max(32, tot_pan or 1)))
-    Ccap = int(min(4096, max(64, tot_ctr or 1)))
-    Ucap = int(min(2048, max(64, tot_ctr or 1)))
+    per_row_elems = 16_000_000  # 64 MB f32 per gathered operand
+    cap_items = max(256, per_row_elems // (bsz * bsz))
+    Winv = int(min(max(64, 65536 // bsz), max(8, nb)))
+    Lcap = int(min(cap_items, max(32, tot_pan or 1)))
+    Ccap = int(min(cap_items, max(64, tot_ctr or 1)))
+    Ucap = int(min(cap_items // 2, max(64, tot_ctr or 1)))
 
     rows = []  # list of (type, payload)
     for cols in buckets:
@@ -366,7 +375,7 @@ def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index):
     }
 
 
-def _build_packed_solve(nb, nblk, buckets, neigh):
+def _build_packed_solve(nb, nblk, buckets, neigh, bsz):
     """Packed substitution schedule for one direction.
 
     ``neigh[k]`` lists (j, storage) couplings whose solution components
@@ -376,9 +385,10 @@ def _build_packed_solve(nb, nblk, buckets, neigh):
     as a target exactly once (zero-contribution targets get a zero sum).
     """
     tot = sum(len(neigh[k]) for k in range(nb))
-    Ccap = int(min(4096, max(64, tot or 1)))
+    cap_items = max(256, 16_000_000 // (bsz * bsz))
+    Ccap = int(min(cap_items, max(64, tot or 1)))
     Ccap = max(Ccap, max((len(neigh[k]) for k in range(nb)), default=1))
-    Ucap = int(min(1024, max(32, nb)))
+    Ucap = int(min(max(1024, cap_items // 8), max(32, nb)))
 
     rows = []  # each: list of (tgt, [(storage, col), ...]) complete groups
     for cols in buckets:
@@ -437,14 +447,15 @@ def _gj_inv(D, delta):
     w, m = D.shape[0], D.shape[-1]
     dtype = D.dtype
     rdt = jnp.zeros((), dtype=dtype).real.dtype
-    M = D
-    V = jnp.broadcast_to(jnp.eye(m, dtype=dtype), D.shape)
+    # augmented [D | I] so each elimination step is ONE fused rank-1 update
+    W = jnp.concatenate(
+        [D, jnp.broadcast_to(jnp.eye(m, dtype=dtype), D.shape)], axis=-1)
     ld = jnp.zeros(w, dtype=rdt)
     mp = jnp.full(w, jnp.inf, dtype=rdt)
     npert = jnp.zeros(w, dtype=jnp.int32)
     d = delta.astype(rdt)
     for j in range(m):
-        pj = M[:, j, j]
+        pj = W[:, j, j]
         ap = jnp.abs(pj)
         mp = jnp.minimum(mp, ap)
         bad = ap <= d
@@ -453,12 +464,10 @@ def _gj_inv(D, delta):
                          jnp.ones((), dtype=dtype))
         pj = jnp.where(bad, unit * d.astype(dtype), pj)
         ld = ld + jnp.log(jnp.maximum(jnp.abs(pj), 1e-300))
-        Mj = M[:, j, :] / pj[:, None]
-        Vj = V[:, j, :] / pj[:, None]
-        f = M[:, :, j].at[:, j].set(0)
-        M = (M - f[:, :, None] * Mj[:, None, :]).at[:, j, :].set(Mj)
-        V = (V - f[:, :, None] * Vj[:, None, :]).at[:, j, :].set(Vj)
-    return V, ld, mp, npert
+        row = W[:, j, :] / pj[:, None]
+        f = W[:, :, j].at[:, j].set(0)
+        W = (W - f[:, :, None] * row[:, None, :]).at[:, j, :].set(row)
+    return W[:, :, m:], ld, mp, npert
 
 
 def _inv_block(D, delta):
