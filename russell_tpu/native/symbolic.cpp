@@ -212,7 +212,23 @@ int nd_order(int64_t n, int64_t nnz, const int64_t* rows,
         int64_t nreach = 0;
         for (int64_t v : verts)
             if (level[v] >= 0) { nreach++; if (level[v] > maxlev) maxlev = level[v]; }
-        if (maxlev < 2) {  // no useful split: emit as a leaf
+        if (maxlev < 2) {
+            int64_t nreach2 = 0;
+            for (int64_t v : verts) if (level[v] >= 0) nreach2++;
+            if (nreach2 < (int64_t)verts.size()) {
+                // disconnected region: recurse per component, no separator
+                Task R, U;
+                R.is_sep = U.is_sep = false;
+                for (int64_t v : verts) {
+                    inset[v] = 0;
+                    if (level[v] >= 0) R.verts.push_back(v);
+                    else U.verts.push_back(v);
+                }
+                stack.push_back(std::move(U));
+                stack.push_back(std::move(R));
+                continue;
+            }
+            // connected, diameter < 2: emit as a leaf
             if (out_regions && !verts.empty())
                 out_regions[(*out_nregions)++] = (int64_t)verts.size();
             for (int64_t v : verts) { inset[v] = 0; out_order[pos++] = v; }

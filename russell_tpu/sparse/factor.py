@@ -195,9 +195,9 @@ def analyze(
         # our "nd" ordering plays the same role AND unlocks the
         # level-batched numeric phase. AUTO tries both symbolics (cheap,
         # host-only) and keeps the one with fewer stored blocks.
-        # block size: MXU-friendly tiles, larger for larger problems
-        # (fewer levels, bigger batched GEMMs)
-        bsz = 128 if n >= 100_000 else (64 if n >= 20_000 else 32)
+        # block size: 32 balances fill coverage (memory) against schedule
+        # row count across all measured sizes (brusselator 65..513)
+        bsz = 32
         if ordering == Ordering.AUTO:
             plan_nd = _splu.splu_analyze(n, rows, cols, ordering="nd",
                                          block_size=bsz,

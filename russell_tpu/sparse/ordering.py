@@ -165,7 +165,12 @@ def nd_ordering(n, rows, cols, leaf: int = 64,
         rl = lev[reached]
         maxlev = int(rl.max()) if len(rl) else 0
         if maxlev < 2:
-            # dense-ish subgraph: no useful split, emit as a leaf
+            if len(unreached):
+                # disconnected region: recurse per component, no separator
+                stack.append(("split", unreached))
+                stack.append(("split", reached))
+                continue
+            # connected, diameter < 2: emit as a leaf
             order_out[pos:pos + len(verts)] = verts
             pos += len(verts)
             if len(verts):

@@ -174,105 +174,127 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
                             upper[i].append(j)
     fill_blocks = len(pat) - len(base_pat)
 
-    # storage assignment (index 0 is the scratch block)
-    blk_index = {}
-    for idx, (i, j) in enumerate(sorted(pat)):
-        blk_index[(i, j)] = idx + 1
-    nblk = len(pat) + 1
+    # ---- storage assignment as SORTED BLOCK CODES --------------------
+    # storage of block (i, j) = position of code i*nb+j in the sorted
+    # code list + 1 (0 is the scratch block). All downstream schedule
+    # construction is vectorized numpy over these arrays — required to
+    # analyze 500k-unknown problems in seconds.
+    if filled is not None:
+        codes = np.sort(filled[:, 0].astype(np.int64) * nb + filled[:, 1])
+    else:
+        codes = np.sort(np.fromiter((i * nb + j for (i, j) in pat),
+                                    dtype=np.int64, count=len(pat)))
+    nblk = len(codes) + 1
+    ci = codes // nb
+    cj = codes % nb
 
-    # scatter entries
-    scatter_idx = ((bi * 0 + np.vectorize(
-        lambda i, j: blk_index[(i, j)])(bi, bj)) * b * b
-        + (r - bi * b) * b + (c - bj * b)).astype(np.int64)
-    # padding: unit diagonal for every unused slot
+    def store(ii_, jj_):
+        return (np.searchsorted(codes, np.asarray(ii_) * nb
+                                + np.asarray(jj_)) + 1).astype(np.int64)
+
+    scatter_idx = (store(bi, bj) * b * b + (r - bi * b) * b
+                   + (c - bj * b)).astype(np.int64)
     pad = np.flatnonzero(~used).astype(np.int64)
-    pad_bi = pad // b
-    pad_loc = pad - pad_bi * b
-    pad_idx = (np.vectorize(lambda k: blk_index[(k, k)])(pad_bi) * b * b
-               + pad_loc * b + pad_loc).astype(np.int64) \
-        if len(pad) else np.zeros(0, dtype=np.int64)
+    if len(pad):
+        pad_bi = pad // b
+        pad_loc = pad - pad_bi * b
+        pad_idx = (store(pad_bi, pad_bi) * b * b + pad_loc * b
+                   + pad_loc).astype(np.int64)
+    else:
+        pad_idx = np.zeros(0, dtype=np.int64)
+    ar = np.arange(nb, dtype=np.int64)
+    diag_idx = store(ar, ar)
 
-    diag_idx = np.array([blk_index[(k, k)] for k in range(nb)],
-                        dtype=np.int64)
+    # row-major boundaries (codes are sorted by (i, j)); diagonal splits
+    rowptr = np.searchsorted(ci, np.arange(nb + 1))
+    dpos = np.searchsorted(codes, ar * nb + ar)            # row-left end
+    upos = np.searchsorted(codes, ar * nb + ar + 1)        # row-right start
+    # column-major view; within a column entries sort by row index
+    col_order = np.lexsort((ci, cj))
+    ci_c = ci[col_order]
+    keys_c = cj[col_order] * nb + ci_c
+    st_c = (col_order + 1).astype(np.int64)
+    colptr = np.searchsorted(keys_c, ar * nb)
+    colptr = np.append(colptr, len(codes))
+    ls_ = np.searchsorted(keys_c, ar * nb + ar + 1)        # col-lower start
+    dc_ = np.searchsorted(keys_c, ar * nb + ar)            # col-upper end
+    nl = colptr[1:] - ls_                                   # lower sizes
+    nu = rowptr[1:] - upos                                  # upper sizes
+    max_l = int(nl.max()) if nb else 1
+    max_u = int(nu.max()) if nb else 1
+    max_l = max(max_l, 1)
+    max_u = max(max_u, 1)
 
-    max_l = max((len(lower[k]) for k in range(nb)), default=0) or 1
-    max_u = max((len(upper[k]) for k in range(nb)), default=0) or 1
-    l_idx = np.zeros((nb, max_l), dtype=np.int64)
-    u_idx = np.zeros((nb, max_u), dtype=np.int64)
-    upd_idx = np.zeros((nb, max_l, max_u), dtype=np.int64)
-    for k in range(nb):
-        for a, i in enumerate(lower[k]):
-            l_idx[k, a] = blk_index[(i, k)]
-        for bq, j in enumerate(upper[k]):
-            u_idx[k, bq] = blk_index[(k, j)]
-        for a, i in enumerate(lower[k]):
-            for bq, j in enumerate(upper[k]):
-                upd_idx[k, a, bq] = blk_index[(i, j)]
-
-    # L blocks to the left of each diagonal (for pivot propagation + fwd)
-    left = [[] for _ in range(nb)]    # (j, storage)
-    right = [[] for _ in range(nb)]   # (j, storage)
-    for (i, j), s in blk_index.items():
-        if j < i:
-            left[i].append((j, s))
-        elif j > i:
-            right[i].append((j, s))
-    max_lrow = max((len(v) for v in left), default=0) or 1
-    max_urow = max((len(v) for v in right), default=0) or 1
-    lrow_idx = np.zeros((nb, max_lrow), dtype=np.int64)
-    fwd_idx = np.zeros((nb, max_lrow), dtype=np.int64)
-    fwd_col = np.zeros((nb, max_lrow), dtype=np.int64)
-    bwd_idx = np.zeros((nb, max_urow), dtype=np.int64)
-    bwd_col = np.zeros((nb, max_urow), dtype=np.int64)
-    for k in range(nb):
-        for a, (j, s) in enumerate(sorted(left[k])):
-            lrow_idx[k, a] = s
-            fwd_idx[k, a] = s
-            fwd_col[k, a] = j
-        for a, (j, s) in enumerate(sorted(right[k])):
-            bwd_idx[k, a] = s
-            bwd_col[k, a] = j
-
-    # elimination-tree level sets: column k must run after every j < k
-    # whose step touches block-row k or block-column k, i.e. (k,j) or
-    # (j,k) in the (filled) pattern. All deps satisfy j < k, so a single
-    # ascending sweep computes the levels.
-    deps = [[] for _ in range(nb)]
-    for (i, j) in pat:
-        if i > j:
-            deps[i].append(j)   # (k=i, j) L block
-        elif i < j:
-            deps[j].append(i)   # (i, k=j) U block
+    # elimination-tree levels: k depends on every j < k with (k,j) or
+    # (j,k) present; deps all point backwards so one sweep suffices
     level = np.zeros(nb, dtype=np.int64)
     for k in range(nb):
-        if deps[k]:
-            level[k] = 1 + max(level[j] for j in deps[k])
+        m1 = cj[rowptr[k]:dpos[k]]              # (k, j), j < k
+        m2 = ci_c[colptr[k]:dc_[k]]             # (j, k), j < k
+        lv = 0
+        if len(m1):
+            lv = int(level[m1].max()) + 1
+        if len(m2):
+            lv = max(lv, int(level[m2].max()) + 1)
+        level[k] = lv
     nlev = int(level.max()) + 1 if nb else 1
-    buckets = [[] for _ in range(nlev)]
-    for k in range(nb):
-        buckets[level[k]].append(k)
-    # chunk wide levels to width W: bounds the batched step's live memory
-    # (gathers + Schur product scale with w*max_l*max_u*b^2) while keeping
-    # correctness — chunks of one level are independent in any order.
-    # W adapts so the Schur product stays under ~128M elements.
+    order_lv = np.argsort(level, kind="stable")
+    bptr = np.searchsorted(level[order_lv], np.arange(nlev + 1))
+    buckets = [order_lv[bptr[t]:bptr[t + 1]] for t in range(nlev)]
+
+    # legacy padded schedules (used by parallel.dist_splu) — only built
+    # at demo scale; the packed schedule below is the real numeric path
+    small = nb <= 4096 and nb * max_l * max_u <= 50_000_000
+    if small:
+        l_idx = np.zeros((nb, max_l), dtype=np.int64)
+        u_idx = np.zeros((nb, max_u), dtype=np.int64)
+        upd_idx = np.zeros((nb, max_l, max_u), dtype=np.int64)
+        lrow_idx = np.zeros(
+            (nb, max(int((dpos - rowptr[:-1]).max()) if nb else 1, 1)),
+            dtype=np.int64)
+        for k in range(nb):
+            lk = st_c[ls_[k]:colptr[k + 1]]
+            uk = np.arange(upos[k] + 1, rowptr[k + 1] + 1, dtype=np.int64)
+            l_idx[k, :nl[k]] = lk
+            u_idx[k, :nu[k]] = uk
+            if nl[k] and nu[k]:
+                ii_ = np.repeat(ci_c[ls_[k]:colptr[k + 1]], nu[k])
+                jj_ = np.tile(cj[upos[k]:rowptr[k + 1]], nl[k])
+                upd_idx[k, :nl[k], :nu[k]] = store(ii_, jj_).reshape(
+                    nl[k], nu[k])
+            nlr = dpos[k] - rowptr[k]
+            lrow_idx[k, :nlr] = np.arange(rowptr[k] + 1, dpos[k] + 1)
+    else:
+        l_idx = np.zeros((1, 1), dtype=np.int64)
+        u_idx = np.zeros((1, 1), dtype=np.int64)
+        upd_idx = np.zeros((1, 1, 1), dtype=np.int64)
+        lrow_idx = np.zeros((1, 1), dtype=np.int64)
+    fwd_idx = np.zeros((1, 1), dtype=np.int64)   # superseded by packed
+    fwd_col = np.zeros((1, 1), dtype=np.int64)
+    bwd_idx = np.zeros((1, 1), dtype=np.int64)
+    bwd_col = np.zeros((1, 1), dtype=np.int64)
+
+    # chunked level columns (dist_splu + diagnostics)
     W = 32
     while W > 4 and W * max_l * max_u * b * b > 128_000_000:
         W //= 2
     chunks = []
     for bk in buckets:
-        for s in range(0, len(bk), W):
-            chunks.append(bk[s:s + W])
-    chunks = chunks or [[]]
+        for sch in range(0, len(bk), W):
+            chunks.append(bk[sch:sch + W])
+    chunks = chunks or [np.zeros(0, dtype=np.int64)]
     max_w = max((len(ck) for ck in chunks), default=1) or 1
-    lvl_cols = np.full((len(chunks), max_w), nb, dtype=np.int64)  # nb=dummy
+    lvl_cols = np.full((len(chunks), max_w), nb, dtype=np.int64)
     for t, ck in enumerate(chunks):
         lvl_cols[t, :len(ck)] = ck
 
-    packed = _build_packed_schedule(nb, nblk, buckets, lower, upper,
-                                    blk_index, b)
-    packed["fwd"] = _build_packed_solve(nb, nblk, buckets, left, b)
-    packed["bwd"] = _build_packed_solve(nb, nblk, list(reversed(buckets)),
-                                        right, b)
+    packed = _build_packed_schedule(
+        nb, nblk, buckets, b, store, diag_idx,
+        st_c, ci_c, ls_, colptr, cj, upos, rowptr, nl, nu)
+    packed["fwd"] = _build_packed_solve(nb, buckets, b, rowptr[:-1],
+                                        dpos, cj)
+    packed["bwd"] = _build_packed_solve(nb, list(reversed(buckets)), b,
+                                        upos, rowptr[1:], cj)
 
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
@@ -283,8 +305,10 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
         lvl_cols=lvl_cols, packed=packed)
 
 
-def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index, bsz):
-    """COMPACT static numeric schedule: one row of work per scan step.
+def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
+                           st_c, ci_c, ls_, colptr, cj, upos, rowptr,
+                           nl, nu):
+    """COMPACT static numeric schedule (fully vectorized construction).
 
     Three row types (dispatched with lax.switch at run time):
       0 INV — invert up to Winv diagonal blocks of one level
@@ -292,145 +316,150 @@ def _build_packed_schedule(nb, nblk, buckets, lower, upper, blk_index, bsz):
       2 CTR — up to Ccap Schur contributions Lhat_ik @ A_kj, combined by
               a sorted segment_sum and ONE duplicate-free scatter-add
 
-    Every index list holds only REAL work items (plus bounded row padding)
-    — this is what keeps the TPU away from its slow scatter/gather paths:
-    scatters are in-bounds-unique (pads use distinct out-of-bounds ids,
-    mode="drop") and segment ids are sorted."""
-    # caps adapt to the problem (small cases stay small) and to the block
-    # size (a row's gather/einsum buffer is cap * b^2 * dtype — target
-    # ~64 MB f32 per buffer so smaller blocks carry MORE items per row)
-    tot_pan = sum(len(lower[k]) for k in range(nb))
-    tot_ctr = sum(len(lower[k]) * len(upper[k]) for k in range(nb))
+    Every index list holds only REAL work items (plus bounded row
+    padding): scatters are in-bounds-unique (pads use distinct
+    out-of-bounds ids, mode="drop") and segment ids are sorted — the
+    combination XLA:TPU lowers to its fast scatter path."""
     per_row_elems = 16_000_000  # 64 MB f32 per gathered operand
     cap_items = max(256, per_row_elems // (bsz * bsz))
     Winv = int(min(max(64, 65536 // bsz), max(8, nb)))
-    Lcap = int(min(cap_items, max(32, tot_pan or 1)))
-    Ccap = int(min(cap_items, max(64, tot_ctr or 1)))
-    Ucap = int(min(cap_items // 2, max(64, tot_ctr or 1)))
+    Lcap = cap_items
+    Ccap = cap_items
+    Ucap = max(64, cap_items // 2)
 
-    rows = []  # list of (type, payload)
+    empty = np.zeros(0, dtype=np.int64)
+    rows = []  # (type, payload arrays)
     for cols in buckets:
-        if not cols:
+        cols = np.asarray(cols, dtype=np.int64)
+        if not len(cols):
             continue
-        for s in range(0, len(cols), Winv):
-            rows.append((0, cols[s:s + Winv]))
-        pan = [(blk_index[(i, k)], blk_index[(k, k)])
-               for k in cols for i in lower[k]]
-        for s in range(0, len(pan), Lcap):
-            rows.append((1, pan[s:s + Lcap]))
-        ctr = [(blk_index[(i, k)], blk_index[(k, j)], blk_index[(i, j)])
-               for k in cols for i in lower[k] for j in upper[k]]
-        ctr.sort(key=lambda t: t[2])
-        # greedy chunks bounded by Ccap items and Ucap unique targets
+        for sch in range(0, len(cols), Winv):
+            rows.append((0, (cols[sch:sch + Winv],)))
+        # panels: src storage (column-lower slices), dinv storage
+        pan_src = (np.concatenate([st_c[ls_[k]:colptr[k + 1]]
+                                   for k in cols]) if nl[cols].sum()
+                   else empty)
+        pan_dv = np.repeat(diag_idx[cols], nl[cols])
+        for sch in range(0, len(pan_src), Lcap):
+            rows.append((1, (pan_src[sch:sch + Lcap],
+                             pan_dv[sch:sch + Lcap])))
+        # contributions: cross products lower x upper per column
+        tot = int((nl[cols] * nu[cols]).sum())
+        if tot == 0:
+            continue
+        i_all = np.concatenate(
+            [np.repeat(ci_c[ls_[k]:colptr[k + 1]], nu[k]) for k in cols])
+        l_all = np.concatenate(
+            [np.repeat(st_c[ls_[k]:colptr[k + 1]], nu[k]) for k in cols])
+        j_all = np.concatenate(
+            [np.tile(cj[upos[k]:rowptr[k + 1]], nl[k]) for k in cols])
+        u_all = np.concatenate(
+            [np.tile(np.arange(upos[k] + 1, rowptr[k + 1] + 1,
+                               dtype=np.int64), nl[k]) for k in cols])
+        t_all = store(i_all, j_all)
+        srt = np.argsort(t_all, kind="stable")
+        t_s, l_s, u_s = t_all[srt], l_all[srt], u_all[srt]
+        uniq = np.empty(len(t_s), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = t_s[1:] != t_s[:-1]
+        ucum = np.cumsum(uniq)
         start = 0
-        while start < len(ctr):
-            end = start
-            uniq = 0
-            last = -1
-            while end < len(ctr) and end - start < Ccap:
-                if ctr[end][2] != last:
-                    if uniq == Ucap:
-                        break
-                    uniq += 1
-                    last = ctr[end][2]
-                end += 1
-            rows.append((2, ctr[start:end]))
+        N = len(t_s)
+        while start < N:
+            e_u = int(np.searchsorted(ucum, ucum[start] + Ucap - 1,
+                                      side="right"))
+            end = max(min(start + Ccap, e_u, N), start + 1)
+            seg = (ucum[start:end] - ucum[start]).astype(np.int64)
+            tflags = np.empty(end - start, dtype=bool)
+            tflags[0] = True
+            tflags[1:] = t_s[start + 1:end] != t_s[start:end - 1]
+            rows.append((2, (l_s[start:end], u_s[start:end], seg,
+                             t_s[start:end][tflags])))
             start = end
 
     nrows = max(len(rows), 1)
     r_type = np.zeros(nrows, dtype=np.int32)
     inv_cols = np.full((nrows, Winv), nb, dtype=np.int32)
-    pan_src = np.zeros((nrows, Lcap), dtype=np.int32)
-    pan_dinv = np.zeros((nrows, Lcap), dtype=np.int32)
-    pan_dst = np.tile(nblk + np.arange(Lcap, dtype=np.int32), (nrows, 1))
+    pan_src_a = np.zeros((nrows, Lcap), dtype=np.int32)
+    pan_dinv_a = np.zeros((nrows, Lcap), dtype=np.int32)
+    pan_dst_a = np.tile(nblk + np.arange(Lcap, dtype=np.int32), (nrows, 1))
     c_l = np.zeros((nrows, Ccap), dtype=np.int32)
     c_u = np.zeros((nrows, Ccap), dtype=np.int32)
     c_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
     c_tgt = np.tile(nblk + np.arange(Ucap, dtype=np.int32), (nrows, 1))
-    for r, (rt, payload) in enumerate(rows):
-        r_type[r] = rt
+    for rr, (rt, payload) in enumerate(rows):
+        r_type[rr] = rt
         if rt == 0:
-            inv_cols[r, :len(payload)] = payload
+            (cc,) = payload
+            inv_cols[rr, :len(cc)] = cc
         elif rt == 1:
-            for a, (src, dv) in enumerate(payload):
-                pan_src[r, a] = src
-                pan_dinv[r, a] = dv
-                pan_dst[r, a] = src
+            src, dv = payload
+            pan_src_a[rr, :len(src)] = src
+            pan_dinv_a[rr, :len(src)] = dv
+            pan_dst_a[rr, :len(src)] = src
         else:
-            seg = -1
-            last = -1
-            for a, (ls, us, tg) in enumerate(payload):
-                if tg != last:
-                    seg += 1
-                    last = tg
-                    c_tgt[r, seg] = tg
-                c_l[r, a] = ls
-                c_u[r, a] = us
-                c_seg[r, a] = seg
+            ls2, us2, seg, tg = payload
+            c_l[rr, :len(ls2)] = ls2
+            c_u[rr, :len(us2)] = us2
+            c_seg[rr, :len(seg)] = seg
+            c_tgt[rr, :len(tg)] = tg
     return {
         "r_type": r_type, "inv_cols": inv_cols,
-        "pan_src": pan_src, "pan_dinv": pan_dinv, "pan_dst": pan_dst,
+        "pan_src": pan_src_a, "pan_dinv": pan_dinv_a, "pan_dst": pan_dst_a,
         "c_l": c_l, "c_u": c_u, "c_seg": c_seg, "c_tgt": c_tgt,
         "Winv": Winv, "Lcap": Lcap, "Ccap": Ccap, "Ucap": Ucap,
     }
 
 
-def _build_packed_solve(nb, nblk, buckets, neigh, bsz):
-    """Packed substitution schedule for one direction.
+def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj):
+    """Packed substitution schedule for one direction (vectorized).
 
-    ``neigh[k]`` lists (j, storage) couplings whose solution components
-    are ready strictly before k's level in this direction. Each row
-    updates up to Ucap_s target block rows with up to Ccap_s gathered
-    couplings, combined by a sorted segment_sum; every level col appears
-    as a target exactly once (zero-contribution targets get a zero sum).
-    """
-    tot = sum(len(neigh[k]) for k in range(nb))
+    Row k's couplings live at row-major positions [start_arr[k],
+    end_arr[k]) — storage = position + 1, source column = cj[position].
+    Groups stay COMPLETE within a row (targets are written with set)."""
     cap_items = max(256, 16_000_000 // (bsz * bsz))
-    Ccap = int(min(cap_items, max(64, tot or 1)))
-    Ccap = max(Ccap, max((len(neigh[k]) for k in range(nb)), default=1))
+    sizes_all = (end_arr - start_arr).astype(np.int64)
+    Ccap = int(max(min(cap_items, max(64, int(sizes_all.sum()) or 1)),
+                   int(sizes_all.max()) if nb else 1))
     Ucap = int(min(max(1024, cap_items // 8), max(32, nb)))
 
-    rows = []  # each: list of (tgt, [(storage, col), ...]) complete groups
+    rows = []
     for cols in buckets:
-        if not cols:
+        cols = np.asarray(cols, dtype=np.int64)
+        if not len(cols):
             continue
-        cur = []
-        n_items = 0
-        for k in cols:
-            items = sorted(neigh[k])
-            if cur and (n_items + len(items) > Ccap or len(cur) == Ucap):
-                rows.append(cur)
-                cur = []
-                n_items = 0
-            cur.append((k, items))
-            n_items += len(items)
-        if cur:
-            rows.append(cur)
+        sz = sizes_all[cols]
+        csum = np.cumsum(sz)
+        g0 = 0
+        G = len(cols)
+        while g0 < G:
+            base = csum[g0 - 1] if g0 else 0
+            gi = int(np.searchsorted(csum, base + Ccap, side="right"))
+            gi = max(min(gi, g0 + Ucap, G), g0 + 1)
+            ck = cols[g0:gi]
+            src = np.concatenate(
+                [np.arange(start_arr[k] + 1, end_arr[k] + 1,
+                           dtype=np.int64) for k in ck])                 if sz[g0:gi].sum() else np.zeros(0, dtype=np.int64)
+            col = np.concatenate(
+                [cj[start_arr[k]:end_arr[k]] for k in ck])                 if sz[g0:gi].sum() else np.zeros(0, dtype=np.int64)
+            seg = np.repeat(np.arange(gi - g0, dtype=np.int64), sz[g0:gi])
+            rows.append((ck, src, col, seg))
+            g0 = gi
 
     nrows = max(len(rows), 1)
     s_src = np.zeros((nrows, Ccap), dtype=np.int32)
     s_col = np.zeros((nrows, Ccap), dtype=np.int32)
     s_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
-    s_tgt_g = np.zeros((nrows, Ucap), dtype=np.int32)   # gather (pad 0)
-    s_tgt_s = np.tile(nb + np.arange(Ucap, dtype=np.int32),
-                      (nrows, 1))                        # scatter (pad OOB)
-    for r, groups in enumerate(rows):
-        a = 0
-        for seg, (k, items) in enumerate(groups):
-            s_tgt_g[r, seg] = k
-            s_tgt_s[r, seg] = k
-            for (j, st) in items:
-                s_src[r, a] = st
-                s_col[r, a] = j
-                s_seg[r, a] = seg
-                a += 1
+    s_tgt_g = np.zeros((nrows, Ucap), dtype=np.int32)
+    s_tgt_s = np.tile(nb + np.arange(Ucap, dtype=np.int32), (nrows, 1))
+    for rr, (ck, src, col, seg) in enumerate(rows):
+        s_tgt_g[rr, :len(ck)] = ck
+        s_tgt_s[rr, :len(ck)] = ck
+        s_src[rr, :len(src)] = src
+        s_col[rr, :len(col)] = col
+        s_seg[rr, :len(seg)] = seg
     return {"src": s_src, "col": s_col, "seg": s_seg,
             "tgt_g": s_tgt_g, "tgt_s": s_tgt_s, "Ucap": Ucap}
-
-
-# ---------------------------------------------------------------------------
-# numeric phase (device)
-# ---------------------------------------------------------------------------
 
 
 def _trivial_schedule(nb):
