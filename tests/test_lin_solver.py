@@ -391,3 +391,27 @@ def test_splu_nested_dissection_level_batched():
     x2 = _splu.splu_solve(plan_seq, fac2, jnp.asarray(b))
     assert np.max(np.abs(np.asarray(x) - np.asarray(x2))) < 1e-9
     assert abs(float(fac["logdet"]) - float(fac2["logdet"])) < 1e-8
+
+
+def test_nd_separator_quality_and_packed_schedule():
+    # the ND splitter must not emit giant regions (disconnected leftovers
+    # once collapsed whole levels into dense leaves — a 100x fill bug)
+    from russell_tpu.ode import samples as _osamples
+    from russell_tpu.sparse import splu as _splu
+    from russell_tpu.sparse.ordering import nd_ordering
+
+    system, _t0, _y0, _args = _osamples.brusselator_pde(2e-3, 33)
+    st = system.jac_structure
+    ii, jj = np.asarray(st[0]), np.asarray(st[1])
+    n = system.ndim
+    order, sizes = nd_ordering(n, ii, jj, leaf=64, with_regions=True)
+    assert sorted(order.tolist()) == list(range(n))      # permutation
+    assert int(np.max(sizes)) <= 6 * 33                  # ~separator scale
+    plan = _splu.splu_analyze(n, ii, jj, block_size=32, ordering="nd")
+    pk = plan.packed
+    assert len(pk["r_type"]) < plan.nb                   # real batching
+    # packed schedule invariants: in-bounds scatter ids unique per row
+    for r in range(min(len(pk["r_type"]), 50)):
+        tg = pk["c_tgt"][r]
+        inb = tg[tg < plan.nblk]
+        assert len(np.unique(inb)) == len(inb)
