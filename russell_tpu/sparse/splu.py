@@ -328,54 +328,71 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
     Ucap = max(64, cap_items // 2)
 
     empty = np.zeros(0, dtype=np.int64)
-    rows = []  # (type, payload arrays)
+    rows = []  # (type, payload)
     for cols in buckets:
         cols = np.asarray(cols, dtype=np.int64)
         if not len(cols):
             continue
-        for sch in range(0, len(cols), Winv):
-            rows.append((0, (cols[sch:sch + Winv],)))
+        inv_chunks = [cols[sch:sch + Winv]
+                      for sch in range(0, len(cols), Winv)]
         # panels: src storage (column-lower slices), dinv storage
         pan_src = (np.concatenate([st_c[ls_[k]:colptr[k + 1]]
                                    for k in cols]) if nl[cols].sum()
                    else empty)
         pan_dv = np.repeat(diag_idx[cols], nl[cols])
-        for sch in range(0, len(pan_src), Lcap):
-            rows.append((1, (pan_src[sch:sch + Lcap],
-                             pan_dv[sch:sch + Lcap])))
+        pan_chunks = [(pan_src[sch:sch + Lcap], pan_dv[sch:sch + Lcap])
+                      for sch in range(0, len(pan_src), Lcap)]
         # contributions: cross products lower x upper per column
+        ctr_chunks = []
         tot = int((nl[cols] * nu[cols]).sum())
-        if tot == 0:
-            continue
-        i_all = np.concatenate(
-            [np.repeat(ci_c[ls_[k]:colptr[k + 1]], nu[k]) for k in cols])
-        l_all = np.concatenate(
-            [np.repeat(st_c[ls_[k]:colptr[k + 1]], nu[k]) for k in cols])
-        j_all = np.concatenate(
-            [np.tile(cj[upos[k]:rowptr[k + 1]], nl[k]) for k in cols])
-        u_all = np.concatenate(
-            [np.tile(np.arange(upos[k] + 1, rowptr[k + 1] + 1,
-                               dtype=np.int64), nl[k]) for k in cols])
-        t_all = store(i_all, j_all)
-        srt = np.argsort(t_all, kind="stable")
-        t_s, l_s, u_s = t_all[srt], l_all[srt], u_all[srt]
-        uniq = np.empty(len(t_s), dtype=bool)
-        uniq[0] = True
-        uniq[1:] = t_s[1:] != t_s[:-1]
-        ucum = np.cumsum(uniq)
-        start = 0
-        N = len(t_s)
-        while start < N:
-            e_u = int(np.searchsorted(ucum, ucum[start] + Ucap - 1,
-                                      side="right"))
-            end = max(min(start + Ccap, e_u, N), start + 1)
-            seg = (ucum[start:end] - ucum[start]).astype(np.int64)
-            tflags = np.empty(end - start, dtype=bool)
-            tflags[0] = True
-            tflags[1:] = t_s[start + 1:end] != t_s[start:end - 1]
-            rows.append((2, (l_s[start:end], u_s[start:end], seg,
-                             t_s[start:end][tflags])))
-            start = end
+        if tot:
+            i_all = np.concatenate(
+                [np.repeat(ci_c[ls_[k]:colptr[k + 1]], nu[k])
+                 for k in cols])
+            l_all = np.concatenate(
+                [np.repeat(st_c[ls_[k]:colptr[k + 1]], nu[k])
+                 for k in cols])
+            j_all = np.concatenate(
+                [np.tile(cj[upos[k]:rowptr[k + 1]], nl[k]) for k in cols])
+            u_all = np.concatenate(
+                [np.tile(np.arange(upos[k] + 1, rowptr[k + 1] + 1,
+                                   dtype=np.int64), nl[k]) for k in cols])
+            t_all = store(i_all, j_all)
+            srt = np.argsort(t_all, kind="stable")
+            t_s, l_s, u_s = t_all[srt], l_all[srt], u_all[srt]
+            uniq = np.empty(len(t_s), dtype=bool)
+            uniq[0] = True
+            uniq[1:] = t_s[1:] != t_s[:-1]
+            ucum = np.cumsum(uniq)
+            start = 0
+            N = len(t_s)
+            while start < N:
+                e_u = int(np.searchsorted(ucum, ucum[start] + Ucap - 1,
+                                          side="right"))
+                end = max(min(start + Ccap, e_u, N), start + 1)
+                seg = (ucum[start:end] - ucum[start]).astype(np.int64)
+                tflags = np.empty(end - start, dtype=bool)
+                tflags[0] = True
+                tflags[1:] = t_s[start + 1:end] != t_s[start:end - 1]
+                ctr_chunks.append((l_s[start:end], u_s[start:end], seg,
+                                   t_s[start:end][tflags]))
+                start = end
+        if (len(inv_chunks) <= 1 and len(pan_chunks) <= 1
+                and len(ctr_chunks) <= 1):
+            # whole level fits in ONE combined scan row (type 3) — the
+            # common case; scan-step count ~= tree depth
+            rows.append((3, (inv_chunks[0] if inv_chunks else empty,
+                             pan_chunks[0] if pan_chunks else (empty,
+                                                               empty),
+                             ctr_chunks[0] if ctr_chunks else
+                             (empty, empty, empty, empty))))
+        else:
+            for cc in inv_chunks:
+                rows.append((0, (cc,)))
+            for pc in pan_chunks:
+                rows.append((1, pc))
+            for tc in ctr_chunks:
+                rows.append((2, tc))
 
     nrows = max(len(rows), 1)
     r_type = np.zeros(nrows, dtype=np.int32)
@@ -387,22 +404,34 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
     c_u = np.zeros((nrows, Ccap), dtype=np.int32)
     c_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
     c_tgt = np.tile(nblk + np.arange(Ucap, dtype=np.int32), (nrows, 1))
+    def put_inv(rr, cc):
+        inv_cols[rr, :len(cc)] = cc
+
+    def put_pan(rr, payload):
+        src, dv = payload
+        pan_src_a[rr, :len(src)] = src
+        pan_dinv_a[rr, :len(src)] = dv
+        pan_dst_a[rr, :len(src)] = src
+
+    def put_ctr(rr, payload):
+        ls2, us2, seg, tg = payload
+        c_l[rr, :len(ls2)] = ls2
+        c_u[rr, :len(us2)] = us2
+        c_seg[rr, :len(seg)] = seg
+        c_tgt[rr, :len(tg)] = tg
+
     for rr, (rt, payload) in enumerate(rows):
         r_type[rr] = rt
         if rt == 0:
-            (cc,) = payload
-            inv_cols[rr, :len(cc)] = cc
+            put_inv(rr, payload[0])
         elif rt == 1:
-            src, dv = payload
-            pan_src_a[rr, :len(src)] = src
-            pan_dinv_a[rr, :len(src)] = dv
-            pan_dst_a[rr, :len(src)] = src
+            put_pan(rr, payload)
+        elif rt == 2:
+            put_ctr(rr, payload)
         else:
-            ls2, us2, seg, tg = payload
-            c_l[rr, :len(ls2)] = ls2
-            c_u[rr, :len(us2)] = us2
-            c_seg[rr, :len(seg)] = seg
-            c_tgt[rr, :len(tg)] = tg
+            put_inv(rr, payload[0])
+            put_pan(rr, payload[1])
+            put_ctr(rr, payload[2])
     return {
         "r_type": r_type, "inv_cols": inv_cols,
         "pan_src": pan_src_a, "pan_dinv": pan_dinv_a, "pan_dst": pan_dst_a,
@@ -599,10 +628,13 @@ def splu_factorize(plan: SpluPlan, data):
             -summed[:Ucap], mode="drop", unique_indices=True)
         return blocks, ld, mp, npert, x
 
+    def do_all(carry):
+        return do_ctr(do_pan(do_inv(carry)))
+
     def row_step(carry, x):
         blocks, ld, mp, npert = carry
         blocks, ld, mp, npert, _ = lax.switch(
-            x["r_type"], [do_inv, do_pan, do_ctr],
+            x["r_type"], [do_inv, do_pan, do_ctr, do_all],
             (blocks, ld, mp, npert, x))
         return (blocks, ld, mp, npert), None
 
