@@ -82,8 +82,8 @@ def build_fused_solver(stepper, params):
         data_c = jnp.concatenate([
             -jv.astype(cdtype),
             (alpha + 1j * beta) * mass_vv.astype(cdtype)])
-        return (_factor.numeric_factorize(plan, data_r),
-                _factor.numeric_factorize(plan, data_c))
+        # SPLU factorizes both in ONE scan over the packed schedule (P5)
+        return _factor.numeric_factorize_pair(plan, data_r, data_c)
 
     def newton_once(x, y, h, w, z, fac_r, fac_c, scaling):
         alpha, beta, gamma = A / h, B / h, G / h
@@ -101,12 +101,12 @@ def build_fused_solver(stepper, params):
               - alpha * l1 + beta * l2)
         r2 = (TI[2, 0] * k0 + TI[2, 1] * k1 + TI[2, 2] * k2
               - beta * l1 - alpha * l2)
-        dw0 = _factor.factor_solve(plan, fac_r, r0)
         if mixed:
             rc = r1.astype(jnp.float32) + 1j * r2.astype(jnp.float32)
         else:
             rc = r1 + 1j * r2
-        dw12 = _factor.factor_solve(plan, fac_c, rc)
+        # real + complex solves share one substitution pass for SPLU
+        dw0, dw12 = _factor.factor_solve_pair(plan, fac_r, fac_c, r0, rc)
         w0 = w[0] + dw0
         w1 = w[1] + jnp.real(dw12)
         w2 = w[2] + jnp.imag(dw12)

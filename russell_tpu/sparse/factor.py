@@ -499,6 +499,65 @@ def numeric_factorize(plan: SolvePlan, data):
     raise ValueError(f"unsupported genie {plan.genie}")
 
 
+def numeric_factorize_pair(plan: SolvePlan, data_r, data_c):
+    """Factorize TWO matrices with the same structure (e.g. Radau5's real
+    and complex Newton matrices). For SPLU both run in ONE scan over the
+    packed schedule (splu_factorize_multi) — the TPU analog of the
+    reference's concurrent real/complex factorization (radau5.rs, P5)."""
+    if plan.genie != Genie.SPLU:
+        return (numeric_factorize(plan, data_r),
+                numeric_factorize(plan, data_c))
+    dr = jnp.asarray(data_r)
+    dc = jnp.asarray(data_c)
+    if plan.mixed32 and jnp.iscomplexobj(dc):
+        dc = dc.astype(jnp.complex64)
+    dr, rs_r, cs_r = _equilibrate(plan, dr)
+    dc, rs_c, cs_c = _equilibrate(plan, dc)
+    fr, fc = _splu.splu_factorize_multi(
+        plan.splu_plan,
+        (dr.astype(_factor_dtype(plan, dr.dtype)),
+         dc.astype(_factor_dtype(plan, dc.dtype))))
+    fr["rs"], fr["cs"], fr["data"] = rs_r, cs_r, dr
+    fc["rs"], fc["cs"], fc["data"] = rs_c, cs_c, dc
+    return fr, fc
+
+
+def factor_solve_pair(plan: SolvePlan, fac_r, fac_c, b_r, b_c):
+    """Solve the real and complex systems TOGETHER (one packed-substitution
+    pass per refinement round covers both)."""
+    if plan.genie != Genie.SPLU:
+        return (factor_solve(plan, fac_r, b_r),
+                factor_solve(plan, fac_c, b_c))
+    facs = (fac_r, fac_c)
+    bs = (jnp.asarray(b_r), jnp.asarray(b_c))
+
+    def solve_once_pair(rhs):
+        ys = [f["rs"].astype(f["data"].dtype)
+              * v.astype(f["data"].dtype) for f, v in zip(facs, rhs)]
+        xs = _splu.splu_solve_multi(plan.splu_plan, facs, ys)
+        return [f["cs"].astype(f["data"].dtype)
+                * x.astype(f["data"].dtype) for f, x in zip(facs, xs)]
+
+    xs = solve_once_pair(bs)
+    if plan.refine_steps > 0:
+        rows = jnp.asarray(plan.rows)
+        cols = jnp.asarray(plan.cols)
+        xs = [x.astype(f["data"].dtype) for f, x in zip(facs, xs)]
+        for _ in range(plan.refine_steps):
+            resids = []
+            for f, x, v in zip(facs, xs, bs):
+                dtype = x.dtype
+                u = x / f["cs"].astype(dtype)
+                ax = jax.ops.segment_sum(f["data"] * u[cols], rows,
+                                         num_segments=plan.n)
+                resid_scaled = (f["rs"].astype(dtype) * v.astype(dtype)
+                                - ax)
+                resids.append(resid_scaled / f["rs"].astype(dtype))
+            dxs = solve_once_pair(resids)
+            xs = [x + dx for x, dx in zip(xs, dxs)]
+    return xs[0], xs[1]
+
+
 def _solve_once(plan: SolvePlan, fac, b):
     if plan.genie == Genie.DENSE:
         return _dense_solve(plan, fac, b)

@@ -40,7 +40,8 @@ from jax import lax
 
 from russell_tpu.sparse.ordering import mindeg_ordering, symmetrize_pattern
 
-__all__ = ["SpluPlan", "splu_analyze", "splu_factorize", "splu_solve"]
+__all__ = ["SpluPlan", "splu_analyze", "splu_factorize",
+           "splu_factorize_multi", "splu_solve", "splu_solve_multi"]
 
 
 @dataclass
@@ -323,9 +324,18 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
     per_row_elems = 16_000_000  # 64 MB f32 per gathered operand
     cap_items = max(256, per_row_elems // (bsz * bsz))
     Winv = int(min(max(64, 65536 // bsz), max(8, nb)))
-    Lcap = cap_items
-    Ccap = cap_items
-    Ucap = max(64, cap_items // 2)
+    # bound caps by the LARGEST level's real needs — rows of small
+    # problems must stay small (padding is processed work)
+    max_pan = 1
+    max_ctr = 1
+    for cols in buckets:
+        cols = np.asarray(cols, dtype=np.int64)
+        if len(cols):
+            max_pan = max(max_pan, int(nl[cols].sum()))
+            max_ctr = max(max_ctr, int((nl[cols] * nu[cols]).sum()))
+    Lcap = int(min(cap_items, max(32, max_pan)))
+    Ccap = int(min(cap_items, max(64, max_ctr)))
+    Ucap = int(min(max(64, cap_items // 2), max(64, max_ctr)))
 
     empty = np.zeros(0, dtype=np.int64)
     rows = []  # (type, payload)
@@ -448,9 +458,19 @@ def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj):
     Groups stay COMPLETE within a row (targets are written with set)."""
     cap_items = max(256, 16_000_000 // (bsz * bsz))
     sizes_all = (end_arr - start_arr).astype(np.int64)
-    Ccap = int(max(min(cap_items, max(64, int(sizes_all.sum()) or 1)),
-                   int(sizes_all.max()) if nb else 1))
-    Ucap = int(min(max(1024, cap_items // 8), max(32, nb)))
+    # bound caps by the LARGEST level's real needs (padding is work)
+    max_lvl = 1
+    max_row = 1
+    max_w = 1
+    for cols in buckets:
+        cols = np.asarray(cols, dtype=np.int64)
+        if len(cols):
+            sz = sizes_all[cols]
+            max_lvl = max(max_lvl, int(sz.sum()))
+            max_row = max(max_row, int(sz.max()))
+            max_w = max(max_w, len(cols))
+    Ccap = int(max(min(cap_items, max(64, max_lvl)), max_row))
+    Ucap = int(min(max(1024, cap_items // 8), max(32, max_w)))
 
     rows = []
     for cols in buckets:
@@ -570,19 +590,32 @@ def splu_factorize(plan: SpluPlan, data):
     Independent block columns of each elimination-tree level run
     concurrently (multifrontal tree parallelism on the MXU); U panels are
     the updated A_kj and are never rewritten."""
-    data = jnp.asarray(data)
-    dtype = data.dtype
+    return splu_factorize_multi(plan, (data,))[0]
+
+
+def splu_factorize_multi(plan: SpluPlan, datas):
+    """Factorize SEVERAL matrices with the same sparsity in ONE scan over
+    the packed schedule — the Radau5 real/complex pair shares every
+    scan-step's fixed cost (the TPU analog of the reference's 2-thread
+    concurrent factorization, P5). dtypes may differ per matrix."""
     b, nb, nblk = plan.b, plan.nb, plan.nblk
     pk = plan.packed
 
-    flat = jnp.zeros(nblk * b * b, dtype=dtype)
-    if len(plan.pad_idx):
-        flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
-    flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
-    blocks = flat.reshape(nblk, b, b)
-
-    delta = plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))
-    rdt = jnp.zeros((), dtype=dtype).real.dtype
+    states = []
+    deltas = []
+    for data in datas:
+        data = jnp.asarray(data)
+        dtype = data.dtype
+        flat = jnp.zeros(nblk * b * b, dtype=dtype)
+        if len(plan.pad_idx):
+            flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
+        flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
+        blocks = flat.reshape(nblk, b, b)
+        rdt = jnp.zeros((), dtype=dtype).real.dtype
+        deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
+        states.append((blocks, jnp.zeros((), rdt),
+                       jnp.asarray(jnp.inf, rdt),
+                       jnp.zeros((), jnp.int32)))
 
     diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
     diag_s = jnp.asarray(np.append(plan.diag_idx, nblk).astype(np.int32))
@@ -593,61 +626,70 @@ def splu_factorize(plan: SpluPlan, data):
            "c_l", "c_u", "c_seg", "c_tgt")}
 
     def do_inv(carry):
-        blocks, ld, mp, npert, x = carry
+        sts, x = carry
         cols = x["inv_cols"]
-        D = blocks[diag_g[cols]]
-        Dinv, ldw, mpw, npw = _inv_block(D, delta)
         live = cols < nb
-        blocks = blocks.at[diag_s[cols]].set(
-            Dinv, mode="drop", unique_indices=True)
-        ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
-        mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
-        npert = npert + jnp.sum(jnp.where(live, npw, 0)).astype(jnp.int32)
-        return blocks, ld, mp, npert, x
+        out = []
+        for (blocks, ld, mp, npert), delta in zip(sts, deltas):
+            D = blocks[diag_g[cols]]
+            Dinv, ldw, mpw, npw = _inv_block(D, delta)
+            blocks = blocks.at[diag_s[cols]].set(
+                Dinv, mode="drop", unique_indices=True)
+            ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
+            mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
+            npert = npert + jnp.sum(
+                jnp.where(live, npw, 0)).astype(jnp.int32)
+            out.append((blocks, ld, mp, npert))
+        return tuple(out), x
 
     def do_pan(carry):
-        blocks, ld, mp, npert, x = carry
-        A = blocks[x["pan_src"]]
-        Dv = blocks[x["pan_dinv"]]
-        Lh = jnp.einsum("cij,cjk->cik", A, Dv,
-                        preferred_element_type=dtype)
-        blocks = blocks.at[x["pan_dst"]].set(
-            Lh, mode="drop", unique_indices=True)
-        return blocks, ld, mp, npert, x
+        sts, x = carry
+        out = []
+        for (blocks, ld, mp, npert) in sts:
+            A = blocks[x["pan_src"]]
+            Dv = blocks[x["pan_dinv"]]
+            Lh = jnp.einsum("cij,cjk->cik", A, Dv,
+                            preferred_element_type=blocks.dtype)
+            blocks = blocks.at[x["pan_dst"]].set(
+                Lh, mode="drop", unique_indices=True)
+            out.append((blocks, ld, mp, npert))
+        return tuple(out), x
 
     def do_ctr(carry):
-        blocks, ld, mp, npert, x = carry
-        Ls = blocks[x["c_l"]]
-        Us = blocks[x["c_u"]]
-        prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                          preferred_element_type=dtype)
-        summed = jax.ops.segment_sum(prod, x["c_seg"],
-                                     num_segments=Ucap + 1,
-                                     indices_are_sorted=True)
-        blocks = blocks.at[x["c_tgt"]].add(
-            -summed[:Ucap], mode="drop", unique_indices=True)
-        return blocks, ld, mp, npert, x
+        sts, x = carry
+        out = []
+        for (blocks, ld, mp, npert) in sts:
+            Ls = blocks[x["c_l"]]
+            Us = blocks[x["c_u"]]
+            prod = jnp.einsum("cij,cjk->cik", Ls, Us,
+                              preferred_element_type=blocks.dtype)
+            summed = jax.ops.segment_sum(prod, x["c_seg"],
+                                         num_segments=Ucap + 1,
+                                         indices_are_sorted=True)
+            blocks = blocks.at[x["c_tgt"]].add(
+                -summed[:Ucap], mode="drop", unique_indices=True)
+            out.append((blocks, ld, mp, npert))
+        return tuple(out), x
 
     def do_all(carry):
         return do_ctr(do_pan(do_inv(carry)))
 
-    def row_step(carry, x):
-        blocks, ld, mp, npert = carry
-        blocks, ld, mp, npert, _ = lax.switch(
-            x["r_type"], [do_inv, do_pan, do_ctr, do_all],
-            (blocks, ld, mp, npert, x))
-        return (blocks, ld, mp, npert), None
+    def row_step(sts, x):
+        sts, _ = lax.switch(x["r_type"], [do_inv, do_pan, do_ctr, do_all],
+                            (sts, x))
+        return sts, None
 
-    carry0 = (blocks, jnp.zeros((), rdt), jnp.asarray(jnp.inf, rdt),
-              jnp.zeros((), jnp.int32))
-    (blocks, ld, mp, npert), _ = lax.scan(row_step, carry0, xs)
-    return {
-        "blocks": blocks,
-        "logdet": ld,
-        "phase": jnp.ones((), dtype=dtype),  # sign not tracked; |det| only
-        "min_pivot": mp,
-        "n_perturbed": npert,
-    }
+    out_states, _ = lax.scan(row_step, tuple(states), xs)
+    facs = []
+    for (blocks, ld, mp, npert) in out_states:
+        facs.append({
+            "blocks": blocks,
+            "logdet": ld,
+            "phase": jnp.ones((), dtype=blocks.dtype),
+            "min_pivot": mp,
+            "n_perturbed": npert,
+        })
+    return facs
 
 
 def splu_solve(plan: SpluPlan, fac, bvec):
@@ -658,43 +700,56 @@ def splu_solve(plan: SpluPlan, fac, bvec):
     Each scan row combines a compact gather of couplings with a sorted
     segment_sum and one in-bounds-unique scatter — all GEMV/GEMM, no
     triangular solves on device."""
+    return splu_solve_multi(plan, (fac,), (bvec,))[0]
+
+
+def splu_solve_multi(plan: SpluPlan, facs, bvecs):
+    """Solve SEVERAL systems (their own factors and right-hand sides, same
+    sparsity plan) in ONE pass — the scan-step fixed costs are shared
+    (Radau5 solves its real and complex Newton systems together)."""
     b, nb = plan.b, plan.nb
-    blocks = fac["blocks"]
-    dtype = blocks.dtype
     perm = jnp.asarray(plan.perm)
     diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
 
-    bp = jnp.zeros(nb * b, dtype=dtype)
-    bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
-    bp = bp.reshape(nb, b)
+    bps = []
+    for fac, bvec in zip(facs, bvecs):
+        dtype = fac["blocks"].dtype
+        bp = jnp.zeros(nb * b, dtype=dtype)
+        bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
+        bps.append(bp.reshape(nb, b))
 
-    def run(direction, rhs_rows, apply_dinv):
+    def run(direction, rhs_list, apply_dinv):
         pk = plan.packed[direction]
         Ucap = pk["Ucap"]
         xs = {k: jnp.asarray(pk[k]) for k in
               ("src", "col", "seg", "tgt_g", "tgt_s")}
 
-        def row(v, x):
-            S = blocks[x["src"]]               # (C, b, b); pad -> zeros
-            vj = v[x["col"]]                   # (C, b)
-            prod = jnp.einsum("cij,cj->ci", S, vj,
-                              preferred_element_type=dtype)
-            summed = jax.ops.segment_sum(prod, x["seg"],
-                                         num_segments=Ucap + 1,
-                                         indices_are_sorted=True)
-            r = rhs_rows[x["tgt_g"]] - summed[:Ucap]
-            if apply_dinv:
-                Dv = blocks[diag_g[x["tgt_g"]]]
-                r = jnp.einsum("cij,cj->ci", Dv, r,
-                               preferred_element_type=dtype)
-            return v.at[x["tgt_s"]].set(r, mode="drop",
-                                        unique_indices=True), None
+        def row(vs, x):
+            out = []
+            for v, fac, rhs_rows in zip(vs, facs, rhs_list):
+                blocks = fac["blocks"]
+                dtype = blocks.dtype
+                S = blocks[x["src"]]           # (C, b, b); pad -> zeros
+                vj = v[x["col"]]               # (C, b)
+                prod = jnp.einsum("cij,cj->ci", S, vj,
+                                  preferred_element_type=dtype)
+                summed = jax.ops.segment_sum(prod, x["seg"],
+                                             num_segments=Ucap + 1,
+                                             indices_are_sorted=True)
+                rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
+                if apply_dinv:
+                    Dv = blocks[diag_g[x["tgt_g"]]]
+                    rr = jnp.einsum("cij,cj->ci", Dv, rr,
+                                    preferred_element_type=dtype)
+                out.append(v.at[x["tgt_s"]].set(rr, mode="drop",
+                                                unique_indices=True))
+            return tuple(out), None
 
-        v0 = jnp.zeros((nb, b), dtype=dtype)
-        v, _ = lax.scan(row, v0, xs)
-        return v
+        v0 = tuple(jnp.zeros((nb, b), dtype=fac["blocks"].dtype)
+                   for fac in facs)
+        vs, _ = lax.scan(row, v0, xs)
+        return vs
 
-    z = run("fwd", bp, False)
-    x = run("bwd", z, True)
-    xflat = x.reshape(nb * b)
-    return xflat[perm]
+    zs = run("fwd", bps, False)
+    xs_out = run("bwd", zs, True)
+    return [x.reshape(nb * b)[perm] for x in xs_out]
