@@ -511,10 +511,6 @@ def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj):
             "tgt_g": s_tgt_g, "tgt_s": s_tgt_s, "Ucap": Ucap}
 
 
-def _trivial_schedule(nb):
-    return np.arange(nb, dtype=np.int64)[:, None]
-
-
 def _gj_inv(D, delta):
     """Batched Gauss-Jordan inverse with MUMPS-style static pivot clamping
     (no row interchanges; tiny pivots replaced by ±delta, counted and
