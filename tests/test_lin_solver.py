@@ -415,3 +415,39 @@ def test_nd_separator_quality_and_packed_schedule():
         tg = pk["c_tgt"][r]
         inb = tg[tg < plan.nblk]
         assert len(np.unique(inb)) == len(inb)
+
+
+def test_splu_pair_factorize_solve_matches_separate():
+    # real+complex in ONE scan must equal two separate factorizations
+    import jax.numpy as jnp
+    from russell_tpu.sparse import samples as _samples
+    from russell_tpu.sparse import factor as _factor
+    from russell_tpu.sparse.enums import Genie
+
+    coo = _samples.laplacian_2d(10)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    rng = np.random.default_rng(3)
+    vc = vv.astype(complex) * (1.0 + 0.3j) + 0.05j * rng.standard_normal(
+        len(vv))
+    plan = _factor.analyze(n, ii, jj, genie=Genie.SPLU)
+    fr, fc = _factor.numeric_factorize_pair(plan, jnp.asarray(vv),
+                                            jnp.asarray(vc))
+    fr2 = _factor.numeric_factorize(plan, jnp.asarray(vv))
+    fc2 = _factor.numeric_factorize(plan, jnp.asarray(vc))
+    assert np.allclose(np.asarray(fr["blocks"]), np.asarray(fr2["blocks"]))
+    assert np.allclose(np.asarray(fc["blocks"]), np.asarray(fc2["blocks"]))
+    br = np.linspace(1.0, 2.0, n)
+    bc = br + 0.5j
+    xr, xc = _factor.factor_solve_pair(plan, fr, fc, jnp.asarray(br),
+                                       jnp.asarray(bc))
+    xr2 = _factor.factor_solve(plan, fr2, jnp.asarray(br))
+    xc2 = _factor.factor_solve(plan, fc2, jnp.asarray(bc))
+    assert np.max(np.abs(np.asarray(xr) - np.asarray(xr2))) < 1e-12
+    assert np.max(np.abs(np.asarray(xc) - np.asarray(xc2))) < 1e-12
+    A = np.asarray(coo.as_dense())
+    assert np.max(np.abs(A @ np.asarray(xr) - br)) < 1e-9
+    Ac = np.zeros((n, n), complex)
+    for i, j, v in zip(ii, jj, vc):
+        Ac[i, j] += v
+    assert np.max(np.abs(Ac @ np.asarray(xc) - bc)) < 1e-9
