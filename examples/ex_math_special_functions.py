@@ -2,6 +2,8 @@
 (mirrors russell_lab math examples)."""
 import _prelude  # noqa: F401
 import jax
+import os as _os
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import numpy as np
 from russell_tpu import math as rm
 

@@ -1,5 +1,8 @@
 """Pseudo-arclength continuation through the Bank-Mittelmann fold
 (mirrors russell_nonlin examples)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 import math
 from russell_tpu.nonlin import (Config, DeltaLambda, IniDir, Method, Output,

@@ -1,5 +1,8 @@
 """Ensemble integration: many stiff ODEs with independent adaptive
 stepping in ONE device computation (vmap of the fused Radau5)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 import numpy as np
 from russell_tpu.ode import Method, OdeSolver, Params, samples

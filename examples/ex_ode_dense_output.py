@@ -1,5 +1,8 @@
 """DoPri5 with dense output at fixed stations (mirrors
 russell_ode examples/simple_ode_single_equation.rs + dense output)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 import math
 from russell_tpu.ode import Method, OdeSolver, Output, Params, samples

@@ -1,5 +1,8 @@
 """Stiff van der Pol via Radau5, matching radau5.f statistics exactly
 (mirrors russell_ode tests/test_radau5_van_der_pol.rs)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 import numpy as np
 from russell_tpu.ode import Method, OdeSolver, Params, samples

@@ -4,6 +4,8 @@ import os
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 import _prelude  # noqa: F401
 import jax
+import os as _os
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import jax.numpy as jnp
 import numpy as np
 from russell_tpu.parallel import batch_factor_solve, make_mesh

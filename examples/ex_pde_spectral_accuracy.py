@@ -1,5 +1,8 @@
 """Spectral collocation vs FDM on the same Poisson problem (mirrors
 russell_pde tests/test_2d_prob01_{fdm,spc}.rs)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 from russell_tpu.pde import Fdm2d, Grid2d, Spc2d, problem_samples
 

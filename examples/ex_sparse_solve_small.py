@@ -1,5 +1,8 @@
 """Solve the reference's umfpack 5x5 sample with every native genie
 (mirrors russell_sparse examples/doc_umfpack_quickstart.rs)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 import numpy as np
 from russell_tpu.sparse import Genie, LinSolver, VerifyLinSys, samples

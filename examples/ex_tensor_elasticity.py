@@ -1,5 +1,8 @@
 """Mandel-basis elasticity: strain -> stress -> invariants -> spectral
 decomposition (mirrors russell_tensor examples)."""
+import os as _os
+import jax
+jax.config.update("jax_platforms", _os.environ.get("JAX_PLATFORMS", "cpu"))
 import _prelude  # noqa: F401
 import numpy as np
 from russell_tpu.tensor import LinElasticity, Mandel, Spectral2, Tensor2

@@ -1,6 +1,7 @@
 #!/bin/bash
 # Acceptance harness (mirrors the reference's zscripts/run-examples.bash)
 set -e
+set -o pipefail
 cd "$(dirname "$0")"
 for f in ex_*.py; do
     echo "=== $f"
