@@ -108,6 +108,9 @@ class Radau5:
                                        num_segments=ndim)
 
         mixed = plan.mixed32
+        # Newton corrections tolerate inexact solves: one refinement round
+        # (vs the solver-API default) halves the substitution passes
+        _nr = 1 if mixed else 0
 
         def factorize(jv, h):
             alpha, beta, gamma = A / h, B / h, G / h
@@ -146,7 +149,8 @@ class Radau5:
                 rc = r1 + 1j * r2
             # real + complex solves share one substitution pass for SPLU
             dw0, dw12 = _factor.factor_solve_pair(plan, fac_r, fac_c,
-                                                  r0, rc)
+                                                  r0, rc,
+                                                  refine_steps=_nr)
             w0 = w[0] + dw0
             w1 = w[1] + jnp.real(dw12)
             w2 = w[2] + jnp.imag(dw12)
@@ -185,14 +189,16 @@ class Radau5:
             else:
                 mez = gamma * ez
             rhs = mez + k_acc
-            err = _factor.factor_solve(plan, fac_r, rhs)
+            err = _factor.factor_solve(plan, fac_r, rhs,
+                                       refine_steps=_nr)
             rel = jnp.maximum(
                 1e-10, jnp.sqrt(jnp.sum((err / scaling) ** 2) / ndim))
             return err, mez, rel
 
         def err_estimate2(mez, fpe, fac_r, scaling):
             rhs = mez + fpe
-            err = _factor.factor_solve(plan, fac_r, rhs)
+            err = _factor.factor_solve(plan, fac_r, rhs,
+                                       refine_steps=_nr)
             return jnp.maximum(
                 1e-10, jnp.sqrt(jnp.sum((err / scaling) ** 2) / ndim))
 

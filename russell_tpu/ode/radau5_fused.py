@@ -73,6 +73,8 @@ def build_fused_solver(stepper, params):
                                    num_segments=ndim)
 
     mixed = plan.mixed32
+    # Newton corrections tolerate inexact solves (see radau5.py)
+    _nr = 1 if mixed else 0
 
     def factorize(jv, h, dtype):
         alpha, beta, gamma = A / h, B / h, G / h
@@ -106,7 +108,8 @@ def build_fused_solver(stepper, params):
         else:
             rc = r1 + 1j * r2
         # real + complex solves share one substitution pass for SPLU
-        dw0, dw12 = _factor.factor_solve_pair(plan, fac_r, fac_c, r0, rc)
+        dw0, dw12 = _factor.factor_solve_pair(plan, fac_r, fac_c, r0, rc,
+                                              refine_steps=_nr)
         w0 = w[0] + dw0
         w1 = w[1] + jnp.real(dw12)
         w2 = w[2] + jnp.imag(dw12)
@@ -177,13 +180,15 @@ def build_fused_solver(stepper, params):
         gamma = G / h
         ez = E0 * z[0] + E1 * z[1] + E2 * z[2]
         mez = gamma * (mass_mat_vec(ez) if has_mass else ez)
-        err = _factor.factor_solve(plan, fac_r, mez + k_acc)
+        err = _factor.factor_solve(plan, fac_r, mez + k_acc,
+                                   refine_steps=_nr)
         rel = jnp.maximum(1e-10,
                           jnp.sqrt(jnp.sum((err / scaling) ** 2) / ndim))
 
         def second(_):
             fpe = f(x, y + err, None)
-            err2 = _factor.factor_solve(plan, fac_r, mez + fpe)
+            err2 = _factor.factor_solve(plan, fac_r, mez + fpe,
+                                        refine_steps=_nr)
             rel2 = jnp.maximum(
                 1e-10, jnp.sqrt(jnp.sum((err2 / scaling) ** 2) / ndim))
             return rel2, nfcn + 1

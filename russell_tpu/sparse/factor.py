@@ -522,12 +522,15 @@ def numeric_factorize_pair(plan: SolvePlan, data_r, data_c):
     return fr, fc
 
 
-def factor_solve_pair(plan: SolvePlan, fac_r, fac_c, b_r, b_c):
+def factor_solve_pair(plan: SolvePlan, fac_r, fac_c, b_r, b_c,
+                      refine_steps=None):
     """Solve the real and complex systems TOGETHER (one packed-substitution
     pass per refinement round covers both)."""
+    if refine_steps is None:
+        refine_steps = plan.refine_steps
     if plan.genie != Genie.SPLU:
-        return (factor_solve(plan, fac_r, b_r),
-                factor_solve(plan, fac_c, b_c))
+        return (factor_solve(plan, fac_r, b_r, refine_steps),
+                factor_solve(plan, fac_c, b_c, refine_steps))
     facs = (fac_r, fac_c)
     bs = (jnp.asarray(b_r), jnp.asarray(b_c))
 
@@ -539,11 +542,11 @@ def factor_solve_pair(plan: SolvePlan, fac_r, fac_c, b_r, b_c):
                 * x.astype(f["data"].dtype) for f, x in zip(facs, xs)]
 
     xs = solve_once_pair(bs)
-    if plan.refine_steps > 0:
+    if refine_steps > 0:
         rows = jnp.asarray(plan.rows)
         cols = jnp.asarray(plan.cols)
         xs = [x.astype(f["data"].dtype) for f, x in zip(facs, xs)]
-        for _ in range(plan.refine_steps):
+        for _ in range(refine_steps):
             resids = []
             for f, x, v in zip(facs, xs, bs):
                 dtype = x.dtype
@@ -571,16 +574,20 @@ def _solve_once(plan: SolvePlan, fac, b):
     return _banded_solve(plan, fac, b)
 
 
-def factor_solve(plan: SolvePlan, fac, b):
+def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
     """Solve A x = b from a numeric factorization, with ``plan.refine_steps``
     rounds of iterative refinement against the scaled matrix. Jittable.
 
     Under mixed precision the refinement residual runs at the INPUT
     precision (f64) for real systems; complex systems refine at c64 on
-    TPU (no complex128 kernels there)."""
+    TPU (no complex128 kernels there). ``refine_steps`` overrides the
+    plan's default (e.g. Radau5 uses 1 round for its inner Newton solves
+    — Newton tolerates inexact corrections)."""
+    if refine_steps is None:
+        refine_steps = plan.refine_steps
     b = jnp.asarray(b)
     x = _solve_once(plan, fac, b)
-    if plan.refine_steps > 0:
+    if refine_steps > 0:
         x = x.astype(fac["data"].dtype)
         rows = jnp.asarray(plan.rows)
         cols = jnp.asarray(plan.cols)
@@ -588,7 +595,7 @@ def factor_solve(plan: SolvePlan, fac, b):
         rs, cs = fac["rs"], fac["cs"]
         dtype = x.dtype
         # residual in scaled space: rscaled = R(b - A x) = R b - As (C^{-1} x)
-        for _ in range(plan.refine_steps):
+        for _ in range(refine_steps):
             u = (x / cs.astype(dtype))
             ax = jax.ops.segment_sum(data * u[cols], rows, num_segments=plan.n)
             resid_scaled = rs.astype(dtype) * b.astype(dtype) - ax
