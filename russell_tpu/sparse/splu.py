@@ -321,7 +321,8 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
     padding): scatters are in-bounds-unique (pads use distinct
     out-of-bounds ids, mode="drop") and segment ids are sorted — the
     combination XLA:TPU lowers to its fast scatter path."""
-    per_row_elems = 16_000_000  # 64 MB f32 per gathered operand
+    per_row_elems = 4_000_000  # ~16 MB f32 per gathered operand — larger
+    # single scatters/segment-sums have crashed the TPU runtime
     cap_items = max(256, per_row_elems // (bsz * bsz))
     Winv = int(min(max(64, 65536 // bsz), max(8, nb)))
     # bound caps by the LARGEST level's real needs — rows of small
@@ -456,7 +457,7 @@ def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj):
     Row k's couplings live at row-major positions [start_arr[k],
     end_arr[k]) — storage = position + 1, source column = cj[position].
     Groups stay COMPLETE within a row (targets are written with set)."""
-    cap_items = max(256, 16_000_000 // (bsz * bsz))
+    cap_items = max(256, 4_000_000 // (bsz * bsz))
     sizes_all = (end_arr - start_arr).astype(np.int64)
     # bound caps by the LARGEST level's real needs (padding is work)
     max_lvl = 1
