@@ -5,7 +5,9 @@ set -o pipefail
 cd "$(dirname "$0")"
 for f in ex_*.py; do
     echo "=== $f"
-    JAX_PLATFORMS="${JAX_PLATFORMS:-cpu}" python "$f" | tail -2
+    # CPU acceptance harness: force local CPU (the harness shell
+    # exports JAX_PLATFORMS=axon -> remote TPU, wrong here)
+    JAX_PLATFORMS="${RUN_ALL_PLATFORM:-cpu}" python "$f" | tail -2
 done
-python ex_sparse_nd_splu.py
+JAX_PLATFORMS="${RUN_ALL_PLATFORM:-cpu}" python ex_sparse_nd_splu.py
 echo "ALL EXAMPLES PASSED"

@@ -407,7 +407,9 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
 
     nrows = max(len(rows), 1)
     r_type = np.zeros(nrows, dtype=np.int32)
-    inv_cols = np.full((nrows, Winv), nb, dtype=np.int32)
+    # pad columns get DISTINCT ids >= nb so the diagonal scatter's dropped
+    # indices stay unique (unique_indices=True contract)
+    inv_cols = np.tile(nb + np.arange(Winv, dtype=np.int32), (nrows, 1))
     pan_src_a = np.zeros((nrows, Lcap), dtype=np.int32)
     pan_dinv_a = np.zeros((nrows, Lcap), dtype=np.int32)
     pan_dst_a = np.tile(nblk + np.arange(Lcap, dtype=np.int32), (nrows, 1))
@@ -614,8 +616,12 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                        jnp.asarray(jnp.inf, rdt),
                        jnp.zeros((), jnp.int32)))
 
-    diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
-    diag_s = jnp.asarray(np.append(plan.diag_idx, nblk).astype(np.int32))
+    Winv = pk["Winv"]
+    diag_g = jnp.asarray(np.concatenate(
+        [plan.diag_idx, np.zeros(Winv, dtype=np.int64)]).astype(np.int32))
+    diag_s = jnp.asarray(np.concatenate(
+        [plan.diag_idx,
+         nblk + np.arange(Winv, dtype=np.int64)]).astype(np.int32))
     Ucap = pk["Ucap"]
 
     xs = {k: jnp.asarray(pk[k]) for k in
