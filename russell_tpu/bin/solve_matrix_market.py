@@ -139,7 +139,8 @@ def main(argv=None) -> int:
     # bfwb62 oracle (solve_matrix_market.rs:217-230)
     if "bfwb62" in args.matrix:
         correct = get_bfwb62_correct_x()
-        got = np.asarray(x)[: len(correct)]
+        from russell_tpu.core import fetch_host
+        got = fetch_host(x)[: len(correct)]
         diff = np.max(np.abs(got - correct) / np.abs(correct))
         ok = diff < 1e-10
         solver.stats.verify["bfwb62_oracle_rel_diff"] = float(diff)

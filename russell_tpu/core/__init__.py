@@ -29,3 +29,16 @@ from russell_tpu.core.generators import linspace, generate2d, generate3d
 from russell_tpu.core.sort import sort2, sort3, sort4
 from russell_tpu.core.read_table import read_table, read_data
 from russell_tpu.core.peaks import find_valleys_and_peaks
+
+
+def fetch_host(x):
+    """Device array -> numpy, safe for complex dtypes on backends without
+    complex device-to-host transfers (the attached TPU): real and
+    imaginary parts are fetched separately and recombined."""
+    import numpy as _np
+    import jax.numpy as _jnp
+    x = _jnp.asarray(x)
+    if _jnp.iscomplexobj(x):
+        return (_np.asarray(_jnp.real(x)).astype(_np.float64)
+                + 1j * _np.asarray(_jnp.imag(x)).astype(_np.float64))
+    return _np.asarray(x)

@@ -190,7 +190,8 @@ class LinSolver:
         # det = phase * exp(logdet) -> (mantissa, 10, exponent); note the
         # scaled matrix determinant must be unscaled: det(A) = det(As)/(prod rs cs)
         logdet = float(self.fac["logdet"])
-        phase = complex(np.asarray(self.fac["phase"]))
+        from russell_tpu.core import fetch_host
+        phase = complex(fetch_host(self.fac["phase"]))
         rs = np.asarray(self.fac["rs"], dtype=np.float64)
         cs = np.asarray(self.fac["cs"], dtype=np.float64)
         log_scale = float(np.sum(np.log(rs)) + np.sum(np.log(cs)))
