@@ -23,7 +23,26 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
+def _wait_for_chip(max_tries: int = 12) -> None:
+    """The attached TPU worker sometimes restarts for minutes; a client
+    that connects while it is down hangs forever. Probe from SUBPROCESSES
+    (killable) until a trivial computation succeeds."""
+    import subprocess
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(float(jnp.sum(jnp.ones(4))))")
+    for _ in range(max_tries):
+        try:
+            out = subprocess.run([sys.executable, "-c", probe],
+                                 capture_output=True, timeout=90)
+            if out.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        time.sleep(60)
+
+
 def main() -> None:
+    _wait_for_chip()
     import jax
     os.makedirs("/root/repo/.jax_cache", exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
