@@ -677,10 +677,19 @@ def splu_factorize_multi(plan: SpluPlan, datas):
     def do_all(carry):
         return do_ctr(do_pan(do_inv(carry)))
 
-    def row_step(sts, x):
-        sts, _ = lax.switch(x["r_type"], [do_inv, do_pan, do_ctr, do_all],
-                            (sts, x))
-        return sts, None
+    import os as _os
+    if _os.environ.get("RUSSELL_TPU_SPLU_NOSWITCH"):
+        # padded sections are no-ops, so running every section on every
+        # row is semantically identical to the switch dispatch
+        def row_step(sts, x):
+            sts, _ = do_all((sts, x))
+            return sts, None
+    else:
+        def row_step(sts, x):
+            sts, _ = lax.switch(x["r_type"],
+                                [do_inv, do_pan, do_ctr, do_all],
+                                (sts, x))
+            return sts, None
 
     out_states, _ = lax.scan(row_step, tuple(states), xs)
     facs = []
