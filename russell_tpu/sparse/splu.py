@@ -355,6 +355,7 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
                       for sch in range(0, len(pan_src), Lcap)]
         # contributions: cross products lower x upper per column
         ctr_chunks = []
+        ctr_srt = None
         tot = int((nl[cols] * nu[cols]).sum())
         if tot:
             i_all = np.concatenate(
@@ -370,6 +371,7 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
                                    dtype=np.int64), nl[k]) for k in cols])
             t_all = store(i_all, j_all)
             srt = np.argsort(t_all, kind="stable")
+            ctr_srt = srt
             t_s, l_s, u_s = t_all[srt], l_all[srt], u_all[srt]
             uniq = np.empty(len(t_s), dtype=bool)
             uniq[0] = True
@@ -391,12 +393,31 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
         if (len(inv_chunks) <= 1 and len(pan_chunks) <= 1
                 and len(ctr_chunks) <= 1):
             # whole level fits in ONE combined scan row (type 3) — the
-            # common case; scan-step count ~= tree depth
+            # common case; scan-step count ~= tree depth. Lane arrays
+            # let panels read Dinv (and contributions read Lhat) from
+            # the row's BATCHES instead of scattered-then-gathered
+            # storage, so the row needs exactly ONE scatter.
+            pan_lane = np.repeat(np.arange(len(cols), dtype=np.int64),
+                                 nl[cols])
+            pan_off = np.concatenate(
+                [[0], np.cumsum(nl[cols])])[:-1]
+            if ctr_chunks:
+                lane_parts = [
+                    np.repeat(pan_off[a] + np.arange(nl[k],
+                                                     dtype=np.int64),
+                              nu[k])
+                    for a, k in enumerate(cols)]
+                c_lane_all = (np.concatenate(lane_parts)
+                              if lane_parts else empty)
+                c_lane = c_lane_all[ctr_srt]
+            else:
+                c_lane = empty
             rows.append((3, (inv_chunks[0] if inv_chunks else empty,
                              pan_chunks[0] if pan_chunks else (empty,
                                                                empty),
                              ctr_chunks[0] if ctr_chunks else
-                             (empty, empty, empty, empty))))
+                             (empty, empty, empty, empty),
+                             pan_lane, c_lane)))
         else:
             for cc in inv_chunks:
                 rows.append((0, (cc,)))
@@ -412,11 +433,17 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
     inv_cols = np.tile(nb + np.arange(Winv, dtype=np.int32), (nrows, 1))
     pan_src_a = np.zeros((nrows, Lcap), dtype=np.int32)
     pan_dinv_a = np.zeros((nrows, Lcap), dtype=np.int32)
-    pan_dst_a = np.tile(nblk + np.arange(Lcap, dtype=np.int32), (nrows, 1))
+    pan_dst_a = np.tile(nblk + Winv + np.arange(Lcap, dtype=np.int32),
+                        (nrows, 1))
     c_l = np.zeros((nrows, Ccap), dtype=np.int32)
     c_u = np.zeros((nrows, Ccap), dtype=np.int32)
     c_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
-    c_tgt = np.tile(nblk + np.arange(Ucap, dtype=np.int32), (nrows, 1))
+    # pad ranges are DISJOINT across sections so a combined scatter's
+    # dropped indices stay globally unique
+    c_tgt = np.tile(nblk + Winv + Lcap + np.arange(Ucap, dtype=np.int32),
+                    (nrows, 1))
+    pan_lane_a = np.zeros((nrows, Lcap), dtype=np.int32)
+    c_lane_a = np.zeros((nrows, Ccap), dtype=np.int32)
     def put_inv(rr, cc):
         inv_cols[rr, :len(cc)] = cc
 
@@ -445,9 +472,12 @@ def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
             put_inv(rr, payload[0])
             put_pan(rr, payload[1])
             put_ctr(rr, payload[2])
+            pan_lane_a[rr, :len(payload[3])] = payload[3]
+            c_lane_a[rr, :len(payload[4])] = payload[4]
     return {
         "r_type": r_type, "inv_cols": inv_cols,
         "pan_src": pan_src_a, "pan_dinv": pan_dinv_a, "pan_dst": pan_dst_a,
+        "pan_lane": pan_lane_a, "c_lane": c_lane_a,
         "c_l": c_l, "c_u": c_u, "c_seg": c_seg, "c_tgt": c_tgt,
         "Winv": Winv, "Lcap": Lcap, "Ccap": Ccap, "Ucap": Ucap,
     }
@@ -626,7 +656,7 @@ def splu_factorize_multi(plan: SpluPlan, datas):
 
     xs = {k: jnp.asarray(pk[k]) for k in
           ("r_type", "inv_cols", "pan_src", "pan_dinv", "pan_dst",
-           "c_l", "c_u", "c_seg", "c_tgt")}
+           "pan_lane", "c_lane", "c_l", "c_u", "c_seg", "c_tgt")}
 
     def do_inv(carry):
         sts, x = carry
@@ -675,14 +705,53 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         return tuple(out), x
 
     def do_all(carry):
-        return do_ctr(do_pan(do_inv(carry)))
+        """Merged level row: all three phases with ONE combined scatter.
+        Panels read Dinv from the inversion batch (pan_lane) and
+        contributions read Lhat from the panel batch (c_lane), so no
+        intermediate storage round-trips happen within the row."""
+        sts, x = carry
+        cols = x["inv_cols"]
+        live = cols < nb
+        out = []
+        for (blocks, ld, mp, npert), delta in zip(sts, deltas):
+            D = blocks[diag_g[cols]]
+            Dinv, ldw, mpw, npw = _inv_block(D, delta)
+            A = blocks[x["pan_src"]]
+            Dv = Dinv[x["pan_lane"]]
+            Lh = jnp.einsum("cij,cjk->cik", A, Dv,
+                            preferred_element_type=blocks.dtype)
+            Ls = Lh[x["c_lane"]]
+            Us = blocks[x["c_u"]]
+            prod = jnp.einsum("cij,cjk->cik", Ls, Us,
+                              preferred_element_type=blocks.dtype)
+            summed = jax.ops.segment_sum(prod, x["c_seg"],
+                                         num_segments=Ucap + 1,
+                                         indices_are_sorted=True)
+            # SET for the new diagonal inverses + panels (an add of
+            # new-old would round at |old|*eps and poison the factors),
+            # one ADD for the Schur contributions
+            idx_set = jnp.concatenate([diag_s[cols], x["pan_dst"]])
+            vals_set = jnp.concatenate([Dinv, Lh])
+            blocks = blocks.at[idx_set].set(vals_set, mode="drop",
+                                            unique_indices=True)
+            blocks = blocks.at[x["c_tgt"]].add(-summed[:Ucap],
+                                               mode="drop",
+                                               unique_indices=True)
+            ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
+            mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
+            npert = npert + jnp.sum(
+                jnp.where(live, npw, 0)).astype(jnp.int32)
+            out.append((blocks, ld, mp, npert))
+        return tuple(out), x
 
     import os as _os
     if _os.environ.get("RUSSELL_TPU_SPLU_NOSWITCH"):
-        # padded sections are no-ops, so running every section on every
-        # row is semantically identical to the switch dispatch
+        # storage-based sections are no-ops when padded, so running all
+        # three on every row is semantically identical to the dispatch
+        # (do_all's lane indexing is only valid on merged rows, so use
+        # the storage-based composition here)
         def row_step(sts, x):
-            sts, _ = do_all((sts, x))
+            sts, _ = do_ctr(do_pan(do_inv((sts, x))))
             return sts, None
     else:
         def row_step(sts, x):
