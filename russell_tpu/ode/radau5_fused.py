@@ -31,9 +31,18 @@ _R5 = radau5_constants()
 EPS = 2.220446049250313e-16
 
 
-def build_fused_solver(stepper, params):
-    """Returns a jitted ``solve(x0, y0, x1, h0) -> (y, stats_dict)`` closed
-    over a Radau5 stepper's kernels (structure-frozen plan)."""
+def build_fused_solver(stepper, params, chunk=None):
+    """Returns ``solve(x0, y0, x1, h0) -> (y, stats_dict)`` closed over a
+    Radau5 stepper's kernels (structure-frozen plan).
+
+    ``chunk`` bounds the number of outer steps per DEVICE CALL: the
+    attached TPU's worker kills single executions that run for minutes,
+    so on TPU the integration runs as a short host loop over a jitted
+    while_loop that carries the complete solver state (counters are
+    bit-identical; the only cost is one scalar sync per chunk).
+    ``chunk=None`` -> 8 on TPU (RUSSELL_TPU_FUSED_CHUNK overrides),
+    unchunked elsewhere; ``chunk=0`` forces a single device call (the
+    vmappable form solve_batch needs)."""
     system = stepper.system
     plan = stepper.plan
     ndim = system.ndim
@@ -75,6 +84,13 @@ def build_fused_solver(stepper, params):
     mixed = plan.mixed32
     # Newton corrections tolerate inexact solves (see radau5.py)
     _nr = 1 if mixed else 0
+
+    import os as _os
+    if chunk is None:
+        chunk = (int(_os.environ.get("RUSSELL_TPU_FUSED_CHUNK", "8"))
+                 if jax.default_backend() == "tpu" else 0)
+    chunked = bool(chunk and chunk > 0)
+    chunk_cap = chunk if chunked else params.step.n_step_max
 
     def factorize(jv, h, dtype):
         alpha, beta, gamma = A / h, B / h, G / h
@@ -197,7 +213,7 @@ def build_fused_solver(stepper, params):
         rel, nfcn = lax.cond(redo, second, lambda _: (rel, nfcn), None)
         return rel, nfcn
 
-    def solve(x0, y0, x1, h0):
+    def _make_state(x0, y0, x1, h0):
         dtype = jnp.asarray(y0).dtype
         y0 = jnp.asarray(y0, dtype=dtype)
         x0 = jnp.asarray(x0, dtype=dtype)
@@ -208,6 +224,7 @@ def build_fused_solver(stepper, params):
 
         zero3 = jnp.zeros((3, ndim), dtype=dtype)
         state = {
+            "x1": x1, "chunk_steps": jnp.zeros((), jnp.int32),
             "x": x0, "y": y0, "h_new": h0, "h_prev": h0,
             "rel_error": jnp.zeros((), dtype),
             "rel_error_prev": jnp.asarray(rel_error_prev_min, dtype),
@@ -233,209 +250,227 @@ def build_fused_solver(stepper, params):
             "n_iterations_max": jnp.zeros((), jnp.int32),
             "iter_count": jnp.zeros((), jnp.int32),
         }
+        return state
 
-        def cond(s):
-            return (s["status"] == 0) & (s["iter_count"] < n_step_max)
+    def cond(s):
+        return ((s["status"] == 0) & (s["iter_count"] < n_step_max)
+                & (s["chunk_steps"] < chunk_cap))
 
-        def body(s):
-            s = {**s, "iter_count": s["iter_count"] + 1}
-            dx = x1 - s["x"]
-            done_conv = dx <= 10.0 * EPS
-            h = jnp.minimum(s["h_new"], dx)
-            too_small = (h <= 10.0 * EPS) & ~done_conv
+    def body(s):
+        s = {**s, "iter_count": s["iter_count"] + 1,
+             "chunk_steps": s["chunk_steps"] + 1}
+        dx = s["x1"] - s["x"]
+        done_conv = dx <= 10.0 * EPS
+        h = jnp.minimum(s["h_new"], dx)
+        too_small = (h <= 10.0 * EPS) & ~done_conv
 
-            def finish(s):
-                st = jnp.where(done_conv, 1, jnp.where(too_small, 2,
-                                                       s["status"]))
-                return {**s, "status": st}
+        def finish(s):
+            st = jnp.where(done_conv, 1, jnp.where(too_small, 2,
+                                                   s["status"]))
+            return {**s, "status": st}
 
-            def step(s):
-                s = {**s, "n_steps": s["n_steps"] + 1}
-                first = s["n_accepted"] == 0
-                # initialize on first-accepted phase (radau5.rs:186)
-                scaling = jnp.where(first,
-                                    abs_tol + rel_tol * jnp.abs(s["y"]),
-                                    s["scaling"])
-                k_acc = lax.cond(first,
-                                 lambda _: f(s["x"], s["y"], None),
-                                 lambda _: s["k_acc"], None)
-                nfcn = s["n_function"] + jnp.where(first, 1, 0)
+        def step(s):
+            s = {**s, "n_steps": s["n_steps"] + 1}
+            first = s["n_accepted"] == 0
+            # initialize on first-accepted phase (radau5.rs:186)
+            scaling = jnp.where(first,
+                                abs_tol + rel_tol * jnp.abs(s["y"]),
+                                s["scaling"])
+            k_acc = lax.cond(first,
+                             lambda _: f(s["x"], s["y"], None),
+                             lambda _: s["k_acc"], None)
+            nfcn = s["n_function"] + jnp.where(first, 1, 0)
 
-                # jacobian + factorization (with reuse policy). The
-                # factorization itself is recomputed every step at the
-                # carried h_fact — numerically identical to reusing the
-                # stored factors, but keeps the (large) factorization
-                # buffers out of the while-loop carry (HBM pressure)
-                def new_jac(_):
-                    return jac_fn(s["x"], s["y"], None), jnp.ones(
-                        (), jnp.int32)
+            # jacobian + factorization (with reuse policy). The
+            # factorization itself is recomputed every step at the
+            # carried h_fact — numerically identical to reusing the
+            # stored factors, but keeps the (large) factorization
+            # buffers out of the while-loop carry (HBM pressure)
+            def new_jac(_):
+                return jac_fn(s["x"], s["y"], None), jnp.ones(
+                    (), jnp.int32)
 
-                def old_jac(_):
-                    return s["jv"], jnp.zeros((), jnp.int32)
+            def old_jac(_):
+                return s["jv"], jnp.zeros((), jnp.int32)
 
-                jv, njac = lax.cond(
-                    s["reuse_fact"] | s["reuse_jac"] | s["jac_computed"],
-                    old_jac, new_jac, None)
-                nfac = jnp.where(s["reuse_fact"], 0, 1).astype(jnp.int32)
-                h_fact = jnp.where(s["reuse_fact"], s["h_fact"], h)
-                fac_r, fac_c = factorize(jv, h_fact, dtype)
-                jac_computed = s["jac_computed"] | (njac > 0)
-                nfcn = nfcn + njac * jac_extra
+            jv, njac = lax.cond(
+                s["reuse_fact"] | s["reuse_jac"] | s["jac_computed"],
+                old_jac, new_jac, None)
+            nfac = jnp.where(s["reuse_fact"], 0, 1).astype(jnp.int32)
+            h_fact = jnp.where(s["reuse_fact"], s["h_fact"], h)
+            fac_r, fac_c = factorize(jv, h_fact, s["y"].dtype)
+            jac_computed = s["jac_computed"] | (njac > 0)
+            nfcn = nfcn + njac * jac_extra
 
-                # trial values (radau5.rs:367)
-                def trial_poly(_):
-                    c3q = h / s["h_prev"]
-                    c1q = MU1 * c3q
-                    c2q = MU2 * c3q
-                    yc = s["yc"]
+            # trial values (radau5.rs:367)
+            def trial_poly(_):
+                c3q = h / s["h_prev"]
+                c1q = MU1 * c3q
+                c2q = MU2 * c3q
+                yc = s["yc"]
 
-                    def poly(cq):
-                        return cq * (yc[0] + (cq - MU4)
-                                     * (yc[1] + (cq - MU3) * yc[2]))
+                def poly(cq):
+                    return cq * (yc[0] + (cq - MU4)
+                                 * (yc[1] + (cq - MU3) * yc[2]))
 
-                    z = jnp.stack([poly(c1q), poly(c2q), poly(c3q)])
-                    w = jnp.stack([
-                        TI[0, 0] * z[0] + TI[0, 1] * z[1] + TI[0, 2] * z[2],
-                        TI[1, 0] * z[0] + TI[1, 1] * z[1] + TI[1, 2] * z[2],
-                        TI[2, 0] * z[0] + TI[2, 1] * z[1] + TI[2, 2] * z[2]])
-                    return z, w
+                z = jnp.stack([poly(c1q), poly(c2q), poly(c3q)])
+                w = jnp.stack([
+                    TI[0, 0] * z[0] + TI[0, 1] * z[1] + TI[0, 2] * z[2],
+                    TI[1, 0] * z[0] + TI[1, 1] * z[1] + TI[1, 2] * z[2],
+                    TI[2, 0] * z[0] + TI[2, 1] * z[1] + TI[2, 2] * z[2]])
+                return z, w
 
-                z0, w0 = lax.cond(first | zero_trial,
-                                  lambda _: (zero3, zero3), trial_poly, None)
+            zero3b = jnp.zeros((3, ndim), dtype=s["y"].dtype)
+            z0, w0 = lax.cond(first | zero_trial,
+                              lambda _: (zero3b, zero3b), trial_poly, None)
 
-                nst = newton_loop(s["x"], s["y"], h, w0, z0, fac_r, fac_c,
-                                  scaling, s["eta"])
-                nfcn = nfcn + nst["nfcn"]
-                nsol = s["n_lin_sol"] + nst["nsol"]
-                n_it = nst["newt"]
-                n_it_max = jnp.maximum(s["n_iterations_max"], n_it)
-                eta = nst["eta"]
-                theta = nst["theta"]
+            nst = newton_loop(s["x"], s["y"], h, w0, z0, fac_r, fac_c,
+                              scaling, s["eta"])
+            nfcn = nfcn + nst["nfcn"]
+            nsol = s["n_lin_sol"] + nst["nsol"]
+            n_it = nst["newt"]
+            n_it_max = jnp.maximum(s["n_iterations_max"], n_it)
+            eta = nst["eta"]
+            theta = nst["theta"]
 
-                def diverged(_):
-                    return {**s, "n_function": nfcn, "n_lin_sol": nsol,
-                            "n_iterations": n_it,
-                            "scaling": scaling, "k_acc": k_acc,
+            def diverged(_):
+                return {**s, "n_function": nfcn, "n_lin_sol": nsol,
+                        "n_iterations": n_it,
+                        "scaling": scaling, "k_acc": k_acc,
+                        "jv": jv, "h_fact": h_fact,
+                        "jac_computed": jac_computed, "eta": eta,
+                        "n_jacobian": s["n_jacobian"] + njac,
+                        "n_factor": s["n_factor"] + nfac,
+                        "reuse_fact": jnp.zeros((), jnp.bool_),
+                        "follows_reject": jnp.ones((), jnp.bool_),
+                        "last_step": jnp.zeros((), jnp.bool_),
+                        "h_new": h * nst["h_mult"]}
+
+            def not_converged(_):
+                return {**s, "status": jnp.asarray(3, jnp.int32),
+                        "n_function": nfcn, "n_lin_sol": nsol,
+                        "n_iterations": n_it,
+                        "n_iterations_max": n_it_max,
+                        "n_jacobian": s["n_jacobian"] + njac,
+                        "n_factor": s["n_factor"] + nfac}
+
+            def converged(_):
+                z = nst["z"]
+                rel, nfcn2 = err_estimate(
+                    z, k_acc, h, fac_r, scaling, s["x"], s["y"],
+                    first | s["follows_reject"], nfcn)
+
+                def accept(_):
+                    y_new = s["y"] + z[2]
+                    yc0 = (z[1] - z[2]) / MU4
+                    yc1 = ((z[0] - z[1]) / MU5 - yc0) / MU3
+                    yc2 = yc1 - ((z[0] - z[1]) / MU5 - z[0] / MU1) / MU2
+                    yc = jnp.stack([yc0, yc1, yc2])
+                    n_acc = s["n_accepted"] + 1
+                    num = m_safety * (1 + 2 * nit)
+                    den = n_it + 2 * nit
+                    facv = jnp.minimum(m_safety, num / den)
+                    div = jnp.clip(rel ** 0.25 / facv, m_min, m_max)
+                    h_new = h / div
+                    if use_pred:
+                        r2 = rel * rel
+                        rp = s["rel_error_prev"]
+                        fac_g = jnp.clip(
+                            (s["h_prev"] / h) * (r2 / rp) ** 0.25
+                            / m_safety, m_min, m_max)
+                        div2 = jnp.maximum(div, fac_g)
+                        h_new = jnp.where(n_acc > 1, h / div2, h_new)
+                    h_ratio = h_new / h
+                    reuse_fact = ((theta <= theta_max)
+                                  & (h_ratio >= c1h) & (h_ratio <= c2h))
+                    reuse_jac = (~reuse_fact) & (theta <= theta_max)
+                    h_new_eff = jnp.where(reuse_fact, s["h_new"], h_new)
+                    # do not let h grow after a reject
+                    h_new_eff = jnp.where(
+                        s["follows_reject"],
+                        jnp.minimum(h_new_eff, h), h_new_eff)
+                    x_new = s["x"] + h
+                    scal2 = abs_tol + rel_tol * jnp.abs(y_new)
+                    k_acc2 = f(x_new, y_new, None)
+                    last = x_new + h_new_eff >= s["x1"]
+                    return {**s, "x": x_new, "y": y_new, "yc": yc,
+                            "h_prev": h, "h_new": h_new_eff,
+                            "rel_error": rel,
+                            "rel_error_prev": jnp.maximum(
+                                rel_error_prev_min, rel),
+                            "follows_reject": jnp.zeros((), jnp.bool_),
+                            "last_step": last,
+                            "eta": eta,
+                            "jac_computed": jnp.zeros((), jnp.bool_),
+                            "reuse_jac": reuse_jac,
+                            "reuse_fact": reuse_fact,
                             "jv": jv, "h_fact": h_fact,
-                            "jac_computed": jac_computed, "eta": eta,
+                            "k_acc": k_acc2, "scaling": scal2,
+                            "status": jnp.where(
+                                s["last_step"], 1, s["status"]),
+                            "n_accepted": n_acc,
+                            "n_function": nfcn2 + 1,
                             "n_jacobian": s["n_jacobian"] + njac,
                             "n_factor": s["n_factor"] + nfac,
-                            "reuse_fact": jnp.zeros((), jnp.bool_),
+                            "n_lin_sol": nsol,
+                            "n_iterations": n_it,
+                            "n_iterations_max": n_it_max}
+
+                def reject(_):
+                    num = m_safety * (1 + 2 * nit)
+                    den = n_it + 2 * nit
+                    facv = jnp.minimum(m_safety, num / den)
+                    div = jnp.clip(rel ** 0.25 / facv, m_min, m_max)
+                    h_new = jnp.where(
+                        (s["n_accepted"] == 0) & (m_first_reject > 0.0),
+                        h * m_first_reject, h / div)
+                    return {**s,
+                            "n_rejected": s["n_rejected"] + jnp.where(
+                                s["n_accepted"] > 0, 1, 0),
                             "follows_reject": jnp.ones((), jnp.bool_),
                             "last_step": jnp.zeros((), jnp.bool_),
-                            "h_new": h * nst["h_mult"]}
-
-                def not_converged(_):
-                    return {**s, "status": jnp.asarray(3, jnp.int32),
-                            "n_function": nfcn, "n_lin_sol": nsol,
-                            "n_iterations": n_it,
-                            "n_iterations_max": n_it_max,
+                            "h_new": h_new, "rel_error": rel,
+                            "eta": eta,
+                            "jv": jv, "h_fact": h_fact,
+                            "jac_computed": jac_computed,
+                            "reuse_fact": jnp.zeros((), jnp.bool_),
+                            "k_acc": k_acc, "scaling": scaling,
+                            "n_function": nfcn2,
                             "n_jacobian": s["n_jacobian"] + njac,
-                            "n_factor": s["n_factor"] + nfac}
+                            "n_factor": s["n_factor"] + nfac,
+                            "n_lin_sol": nsol,
+                            "n_iterations": n_it,
+                            "n_iterations_max": n_it_max}
 
-                def converged(_):
-                    z = nst["z"]
-                    rel, nfcn2 = err_estimate(
-                        z, k_acc, h, fac_r, scaling, s["x"], s["y"],
-                        first | s["follows_reject"], nfcn)
+                return lax.cond(rel < 1.0, accept, reject, None)
 
-                    def accept(_):
-                        y_new = s["y"] + z[2]
-                        yc0 = (z[1] - z[2]) / MU4
-                        yc1 = ((z[0] - z[1]) / MU5 - yc0) / MU3
-                        yc2 = yc1 - ((z[0] - z[1]) / MU5 - z[0] / MU1) / MU2
-                        yc = jnp.stack([yc0, yc1, yc2])
-                        n_acc = s["n_accepted"] + 1
-                        num = m_safety * (1 + 2 * nit)
-                        den = n_it + 2 * nit
-                        facv = jnp.minimum(m_safety, num / den)
-                        div = jnp.clip(rel ** 0.25 / facv, m_min, m_max)
-                        h_new = h / div
-                        if use_pred:
-                            r2 = rel * rel
-                            rp = s["rel_error_prev"]
-                            fac_g = jnp.clip(
-                                (s["h_prev"] / h) * (r2 / rp) ** 0.25
-                                / m_safety, m_min, m_max)
-                            div2 = jnp.maximum(div, fac_g)
-                            h_new = jnp.where(n_acc > 1, h / div2, h_new)
-                        h_ratio = h_new / h
-                        reuse_fact = ((theta <= theta_max)
-                                      & (h_ratio >= c1h) & (h_ratio <= c2h))
-                        reuse_jac = (~reuse_fact) & (theta <= theta_max)
-                        h_new_eff = jnp.where(reuse_fact, s["h_new"], h_new)
-                        # do not let h grow after a reject
-                        h_new_eff = jnp.where(
-                            s["follows_reject"],
-                            jnp.minimum(h_new_eff, h), h_new_eff)
-                        x_new = s["x"] + h
-                        scal2 = abs_tol + rel_tol * jnp.abs(y_new)
-                        k_acc2 = f(x_new, y_new, None)
-                        last = x_new + h_new_eff >= x1
-                        return {**s, "x": x_new, "y": y_new, "yc": yc,
-                                "h_prev": h, "h_new": h_new_eff,
-                                "rel_error": rel,
-                                "rel_error_prev": jnp.maximum(
-                                    rel_error_prev_min, rel),
-                                "follows_reject": jnp.zeros((), jnp.bool_),
-                                "last_step": last,
-                                "eta": eta,
-                                "jac_computed": jnp.zeros((), jnp.bool_),
-                                "reuse_jac": reuse_jac,
-                                "reuse_fact": reuse_fact,
-                                "jv": jv, "h_fact": h_fact,
-                                "k_acc": k_acc2, "scaling": scal2,
-                                "status": jnp.where(
-                                    s["last_step"], 1, s["status"]),
-                                "n_accepted": n_acc,
-                                "n_function": nfcn2 + 1,
-                                "n_jacobian": s["n_jacobian"] + njac,
-                                "n_factor": s["n_factor"] + nfac,
-                                "n_lin_sol": nsol,
-                                "n_iterations": n_it,
-                                "n_iterations_max": n_it_max}
+            return lax.cond(
+                nst["diverging"], diverged,
+                lambda _: lax.cond(nst["converged"], converged,
+                                   not_converged, None), None)
 
-                    def reject(_):
-                        num = m_safety * (1 + 2 * nit)
-                        den = n_it + 2 * nit
-                        facv = jnp.minimum(m_safety, num / den)
-                        div = jnp.clip(rel ** 0.25 / facv, m_min, m_max)
-                        h_new = jnp.where(
-                            (s["n_accepted"] == 0) & (m_first_reject > 0.0),
-                            h * m_first_reject, h / div)
-                        return {**s,
-                                "n_rejected": s["n_rejected"] + jnp.where(
-                                    s["n_accepted"] > 0, 1, 0),
-                                "follows_reject": jnp.ones((), jnp.bool_),
-                                "last_step": jnp.zeros((), jnp.bool_),
-                                "h_new": h_new, "rel_error": rel,
-                                "eta": eta,
-                                "jv": jv, "h_fact": h_fact,
-                                "jac_computed": jac_computed,
-                                "reuse_fact": jnp.zeros((), jnp.bool_),
-                                "k_acc": k_acc, "scaling": scaling,
-                                "n_function": nfcn2,
-                                "n_jacobian": s["n_jacobian"] + njac,
-                                "n_factor": s["n_factor"] + nfac,
-                                "n_lin_sol": nsol,
-                                "n_iterations": n_it,
-                                "n_iterations_max": n_it_max}
+        return lax.cond(done_conv | too_small, finish, step, s)
 
-                    return lax.cond(rel < 1.0, accept, reject, None)
+    _init_j = jax.jit(_make_state)
 
-                return lax.cond(
-                    nst["diverging"], diverged,
-                    lambda _: lax.cond(nst["converged"], converged,
-                                       not_converged, None), None)
+    def _run(st):
+        st = {**st, "chunk_steps": jnp.zeros((), jnp.int32)}
+        return lax.while_loop(cond, body, st)
 
-            return lax.cond(done_conv | too_small, finish, step, s)
+    _run_j = jax.jit(_run)
 
-        out = lax.while_loop(cond, body, state)
-        stats = {k: out[k] for k in
+    def solve(x0, y0, x1, h0):
+        st = _init_j(x0, y0, x1, h0)
+        while True:
+            st = _run_j(st)
+            if (not chunked) or int(st["status"]) != 0 \
+                    or int(st["iter_count"]) >= n_step_max:
+                break
+        stats = {k: st[k] for k in
                  ("status", "n_steps", "n_accepted", "n_rejected",
                   "n_function", "n_jacobian", "n_factor", "n_lin_sol",
                   "n_iterations", "n_iterations_max")}
-        stats["h_accepted"] = out["h_new"]
-        return out["y"], stats
+        stats["h_accepted"] = st["h_new"]
+        return st["y"], stats
 
-    return jax.jit(solve)
+    return solve

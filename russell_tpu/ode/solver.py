@@ -195,12 +195,13 @@ class OdeSolver:
                 "variable stepping did not converge with n_step_max steps")
         return y
 
-    def _build_fused(self):
+    def _build_fused(self, chunk=None):
         """Pick the whole-integration fused builder for the current method:
         Radau5 (radau5_fused.py) or any embedded ERK (erk_fused.py)."""
         if self.params.method == Method.RADAU5:
             from russell_tpu.ode.radau5_fused import build_fused_solver
-            return build_fused_solver(self.actual, self.params)
+            return build_fused_solver(self.actual, self.params,
+                                      chunk=chunk)
         if (isinstance(self.actual, ExplicitRungeKutta)
                 and self.actual.info.embedded):
             from russell_tpu.ode.erk_fused import build_fused_erk_solver
@@ -248,12 +249,13 @@ class OdeSolver:
 
         Returns (y_batch, stats_batch) with per-lane counters."""
         import jax
-        if self._fused_fn is None:
-            self._fused_fn = self._build_fused()
+        # vmap needs the single-device-call (unchunked) form
+        if getattr(self, "_fused_fn_batch", None) is None:
+            self._fused_fn_batch = self._build_fused(chunk=0)
         y0_batch = jnp.asarray(y0_batch)
         h = h0 if h0 is not None else min(self.params.step.h_ini, x1 - x0)
         dtype = y0_batch.dtype
-        fn = jax.vmap(self._fused_fn, in_axes=(None, 0, None, None))
+        fn = jax.vmap(self._fused_fn_batch, in_axes=(None, 0, None, None))
         y, st = fn(jnp.asarray(x0, dtype=dtype), y0_batch,
                    jnp.asarray(x1, dtype=dtype), jnp.asarray(h, dtype=dtype))
         return y, st

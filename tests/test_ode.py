@@ -380,3 +380,23 @@ def test_erk_fused_solve_batch():
     # lanes must match scalar fused solves
     y_ref = sol.solve(y0s[5], x0, 1.5, fused=True)
     assert np.max(np.abs(np.asarray(yb[5]) - np.asarray(y_ref))) < 1e-12
+
+
+def test_radau5_fused_chunked_matches_unchunked():
+    # chunked device calls (TPU watchdog workaround) must be bit-identical
+    import jax.numpy as jnp
+    from russell_tpu.ode.radau5_fused import build_fused_solver
+    system, x0, y0, args, _ = samples.hairer_wanner_eq1()
+    params = Params(Method.RADAU5)
+    params.set_tolerances(1e-4, 1e-4)
+    sol = OdeSolver(params, system)
+    h0 = min(params.step.h_ini, 1.5 - x0)
+    fn_un = build_fused_solver(sol.actual, params, chunk=0)
+    fn_ch = build_fused_solver(sol.actual, params, chunk=3)
+    ya, sa = fn_un(jnp.float64(x0), jnp.asarray(y0), jnp.float64(1.5),
+                   jnp.float64(h0))
+    yb, sb = fn_ch(jnp.float64(x0), jnp.asarray(y0), jnp.float64(1.5),
+                   jnp.float64(h0))
+    assert np.array_equal(np.asarray(ya), np.asarray(yb))
+    for k in sa:
+        assert float(np.asarray(sa[k])) == float(np.asarray(sb[k])), k
