@@ -639,7 +639,11 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         if len(plan.pad_idx):
             flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
         flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
-        blocks = flat.reshape(nblk, b, b)
+        # FLAT block-row storage: gathers and scatters then share one
+        # layout (3-D block storage made XLA ping-pong the whole array
+        # between a gather layout and a scatter layout EVERY scan row —
+        # hundreds of MB of copies per row, seen in the optimized HLO)
+        blocks = flat.reshape(nblk, b * b)
         rdt = jnp.zeros((), dtype=dtype).real.dtype
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
@@ -658,16 +662,22 @@ def splu_factorize_multi(plan: SpluPlan, datas):
           ("r_type", "inv_cols", "pan_src", "pan_dinv", "pan_dst",
            "pan_lane", "c_lane", "c_l", "c_u", "c_seg", "c_tgt")}
 
+    def _g(blocks, idx):
+        return blocks[idx].reshape(idx.shape[0], b, b)
+
+    def _v(mats):
+        return mats.reshape(mats.shape[0], b * b)
+
     def do_inv(carry):
         sts, x = carry
         cols = x["inv_cols"]
         live = cols < nb
         out = []
         for (blocks, ld, mp, npert), delta in zip(sts, deltas):
-            D = blocks[diag_g[cols]]
+            D = _g(blocks, diag_g[cols])
             Dinv, ldw, mpw, npw = _inv_block(D, delta)
             blocks = blocks.at[diag_s[cols]].set(
-                Dinv, mode="drop", unique_indices=True)
+                _v(Dinv), mode="drop", unique_indices=True)
             ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
             mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
             npert = npert + jnp.sum(
@@ -679,12 +689,12 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         sts, x = carry
         out = []
         for (blocks, ld, mp, npert) in sts:
-            A = blocks[x["pan_src"]]
-            Dv = blocks[x["pan_dinv"]]
+            A = _g(blocks, x["pan_src"])
+            Dv = _g(blocks, x["pan_dinv"])
             Lh = jnp.einsum("cij,cjk->cik", A, Dv,
                             preferred_element_type=blocks.dtype)
             blocks = blocks.at[x["pan_dst"]].set(
-                Lh, mode="drop", unique_indices=True)
+                _v(Lh), mode="drop", unique_indices=True)
             out.append((blocks, ld, mp, npert))
         return tuple(out), x
 
@@ -692,11 +702,11 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         sts, x = carry
         out = []
         for (blocks, ld, mp, npert) in sts:
-            Ls = blocks[x["c_l"]]
-            Us = blocks[x["c_u"]]
+            Ls = _g(blocks, x["c_l"])
+            Us = _g(blocks, x["c_u"])
             prod = jnp.einsum("cij,cjk->cik", Ls, Us,
                               preferred_element_type=blocks.dtype)
-            summed = jax.ops.segment_sum(prod, x["c_seg"],
+            summed = jax.ops.segment_sum(_v(prod), x["c_seg"],
                                          num_segments=Ucap + 1,
                                          indices_are_sorted=True)
             blocks = blocks.at[x["c_tgt"]].add(
@@ -714,24 +724,24 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         live = cols < nb
         out = []
         for (blocks, ld, mp, npert), delta in zip(sts, deltas):
-            D = blocks[diag_g[cols]]
+            D = _g(blocks, diag_g[cols])
             Dinv, ldw, mpw, npw = _inv_block(D, delta)
-            A = blocks[x["pan_src"]]
+            A = _g(blocks, x["pan_src"])
             Dv = Dinv[x["pan_lane"]]
             Lh = jnp.einsum("cij,cjk->cik", A, Dv,
                             preferred_element_type=blocks.dtype)
             Ls = Lh[x["c_lane"]]
-            Us = blocks[x["c_u"]]
+            Us = _g(blocks, x["c_u"])
             prod = jnp.einsum("cij,cjk->cik", Ls, Us,
                               preferred_element_type=blocks.dtype)
-            summed = jax.ops.segment_sum(prod, x["c_seg"],
+            summed = jax.ops.segment_sum(_v(prod), x["c_seg"],
                                          num_segments=Ucap + 1,
                                          indices_are_sorted=True)
             # SET for the new diagonal inverses + panels (an add of
             # new-old would round at |old|*eps and poison the factors),
             # one ADD for the Schur contributions
             idx_set = jnp.concatenate([diag_s[cols], x["pan_dst"]])
-            vals_set = jnp.concatenate([Dinv, Lh])
+            vals_set = jnp.concatenate([_v(Dinv), _v(Lh)])
             blocks = blocks.at[idx_set].set(vals_set, mode="drop",
                                             unique_indices=True)
             blocks = blocks.at[x["c_tgt"]].add(-summed[:Ucap],
@@ -792,6 +802,13 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     perm = jnp.asarray(plan.perm)
     diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
 
+    # flat (nblk, b*b) storage; accept legacy 3-D (e.g. dist_splu)
+    blks = []
+    for fac in facs:
+        bl = fac["blocks"]
+        if bl.ndim == 3:
+            bl = bl.reshape(bl.shape[0], b * b)
+        blks.append(bl)
     bps = []
     for fac, bvec in zip(facs, bvecs):
         dtype = fac["blocks"].dtype
@@ -807,10 +824,9 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
 
         def row(vs, x):
             out = []
-            for v, fac, rhs_rows in zip(vs, facs, rhs_list):
-                blocks = fac["blocks"]
+            for v, blocks, rhs_rows in zip(vs, blks, rhs_list):
                 dtype = blocks.dtype
-                S = blocks[x["src"]]           # (C, b, b); pad -> zeros
+                S = blocks[x["src"]].reshape(-1, b, b)  # pad -> zeros
                 vj = v[x["col"]]               # (C, b)
                 prod = jnp.einsum("cij,cj->ci", S, vj,
                                   preferred_element_type=dtype)
@@ -819,15 +835,14 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
                                              indices_are_sorted=True)
                 rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
                 if apply_dinv:
-                    Dv = blocks[diag_g[x["tgt_g"]]]
+                    Dv = blocks[diag_g[x["tgt_g"]]].reshape(-1, b, b)
                     rr = jnp.einsum("cij,cj->ci", Dv, rr,
                                     preferred_element_type=dtype)
                 out.append(v.at[x["tgt_s"]].set(rr, mode="drop",
                                                 unique_indices=True))
             return tuple(out), None
 
-        v0 = tuple(jnp.zeros((nb, b), dtype=fac["blocks"].dtype)
-                   for fac in facs)
+        v0 = tuple(jnp.zeros((nb, b), dtype=bl.dtype) for bl in blks)
         vs, _ = lax.scan(row, v0, xs)
         return vs
 
