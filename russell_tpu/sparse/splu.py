@@ -175,11 +175,13 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
                             upper[i].append(j)
     fill_blocks = len(pat) - len(base_pat)
 
-    # ---- storage assignment as SORTED BLOCK CODES --------------------
-    # storage of block (i, j) = position of code i*nb+j in the sorted
-    # code list + 1 (0 is the scratch block). All downstream schedule
-    # construction is vectorized numpy over these arrays — required to
-    # analyze 500k-unknown problems in seconds.
+    # ---- storage assignment: LEFT-LOOKING, level-ordered -------------
+    # Block (i, j) is FINALIZED when column k = min(i, j) is eliminated.
+    # Storage is ordered by (elimination level of k, section, k, other)
+    # with sections diag -> L -> U, so every level's writes form
+    # CONTIGUOUS storage ranges: the numeric phase writes with
+    # dynamic_update_slice instead of scatter (XLA:TPU scatters are
+    # ~1 us per updated row — they dominated the factorization).
     if filled is not None:
         codes = np.sort(filled[:, 0].astype(np.int64) * nb + filled[:, 1])
     else:
@@ -188,43 +190,23 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     nblk = len(codes) + 1
     ci = codes // nb
     cj = codes % nb
-
-    def store(ii_, jj_):
-        return (np.searchsorted(codes, np.asarray(ii_) * nb
-                                + np.asarray(jj_)) + 1).astype(np.int64)
-
-    scatter_idx = (store(bi, bj) * b * b + (r - bi * b) * b
-                   + (c - bj * b)).astype(np.int64)
-    pad = np.flatnonzero(~used).astype(np.int64)
-    if len(pad):
-        pad_bi = pad // b
-        pad_loc = pad - pad_bi * b
-        pad_idx = (store(pad_bi, pad_bi) * b * b + pad_loc * b
-                   + pad_loc).astype(np.int64)
-    else:
-        pad_idx = np.zeros(0, dtype=np.int64)
     ar = np.arange(nb, dtype=np.int64)
-    diag_idx = store(ar, ar)
 
-    # row-major boundaries (codes are sorted by (i, j)); diagonal splits
+    # position-space boundaries (codes sorted by (i, j))
     rowptr = np.searchsorted(ci, np.arange(nb + 1))
     dpos = np.searchsorted(codes, ar * nb + ar)            # row-left end
     upos = np.searchsorted(codes, ar * nb + ar + 1)        # row-right start
-    # column-major view; within a column entries sort by row index
     col_order = np.lexsort((ci, cj))
     ci_c = ci[col_order]
     keys_c = cj[col_order] * nb + ci_c
-    st_c = (col_order + 1).astype(np.int64)
     colptr = np.searchsorted(keys_c, ar * nb)
     colptr = np.append(colptr, len(codes))
     ls_ = np.searchsorted(keys_c, ar * nb + ar + 1)        # col-lower start
     dc_ = np.searchsorted(keys_c, ar * nb + ar)            # col-upper end
     nl = colptr[1:] - ls_                                   # lower sizes
     nu = rowptr[1:] - upos                                  # upper sizes
-    max_l = int(nl.max()) if nb else 1
-    max_u = int(nu.max()) if nb else 1
-    max_l = max(max_l, 1)
-    max_u = max(max_u, 1)
+    max_l = max(int(nl.max()) if nb else 1, 1)
+    max_u = max(int(nu.max()) if nb else 1, 1)
 
     # elimination-tree levels: k depends on every j < k with (k,j) or
     # (j,k) present; deps all point backwards so one sweep suffices
@@ -243,6 +225,38 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     bptr = np.searchsorted(level[order_lv], np.arange(nlev + 1))
     buckets = [order_lv[bptr[t]:bptr[t + 1]] for t in range(nlev)]
 
+    # storage permutation: position -> level-ordered storage id (1-based)
+    own_k = np.minimum(ci, cj)
+    other = np.maximum(ci, cj)
+    section = np.where(ci == cj, 0, np.where(ci > cj, 1, 2))
+    blk_lvl = level[own_k]
+    ord_st = np.lexsort((other, own_k, section, blk_lvl))
+    st_perm = np.empty(len(codes), dtype=np.int64)
+    st_perm[ord_st] = np.arange(1, len(codes) + 1)
+
+    def store(ii_, jj_):
+        posq = np.searchsorted(codes, np.asarray(ii_) * nb
+                               + np.asarray(jj_))
+        return st_perm[posq]
+
+    # storage-space boundaries of every (level, section) run
+    sec_key = (blk_lvl * 3 + section)[ord_st]
+    sec_bounds = np.searchsorted(sec_key, np.arange(3 * nlev + 1)) + 1
+
+    st_c = st_perm[col_order]                  # column-major storages
+
+    scatter_idx = (store(bi, bj) * b * b + (r - bi * b) * b
+                   + (c - bj * b)).astype(np.int64)
+    pad = np.flatnonzero(~used).astype(np.int64)
+    if len(pad):
+        pad_bi = pad // b
+        pad_loc = pad - pad_bi * b
+        pad_idx = (store(pad_bi, pad_bi) * b * b + pad_loc * b
+                   + pad_loc).astype(np.int64)
+    else:
+        pad_idx = np.zeros(0, dtype=np.int64)
+    diag_idx = store(ar, ar)
+
     # legacy padded schedules (used by parallel.dist_splu) — only built
     # at demo scale; the packed schedule below is the real numeric path
     small = nb <= 4096 and nb * max_l * max_u <= 50_000_000
@@ -255,7 +269,7 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
             dtype=np.int64)
         for k in range(nb):
             lk = st_c[ls_[k]:colptr[k + 1]]
-            uk = np.arange(upos[k] + 1, rowptr[k + 1] + 1, dtype=np.int64)
+            uk = st_perm[np.arange(upos[k], rowptr[k + 1])]
             l_idx[k, :nl[k]] = lk
             u_idx[k, :nu[k]] = uk
             if nl[k] and nu[k]:
@@ -264,7 +278,7 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
                 upd_idx[k, :nl[k], :nu[k]] = store(ii_, jj_).reshape(
                     nl[k], nu[k])
             nlr = dpos[k] - rowptr[k]
-            lrow_idx[k, :nlr] = np.arange(rowptr[k] + 1, dpos[k] + 1)
+            lrow_idx[k, :nlr] = st_perm[np.arange(rowptr[k], dpos[k])]
     else:
         l_idx = np.zeros((1, 1), dtype=np.int64)
         u_idx = np.zeros((1, 1), dtype=np.int64)
@@ -289,13 +303,14 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     for t, ck in enumerate(chunks):
         lvl_cols[t, :len(ck)] = ck
 
-    packed = _build_packed_schedule(
-        nb, nblk, buckets, b, store, diag_idx,
-        st_c, ci_c, ls_, colptr, cj, upos, rowptr, nl, nu)
+    packed = _build_packed_left(
+        nb, nblk, nlev, buckets, b, store, diag_idx, sec_bounds,
+        st_c, ci_c, ls_, colptr, cj, upos, rowptr, nl, nu,
+        st_perm, ord_st, ci, section, blk_lvl, own_k, other)
     packed["fwd"] = _build_packed_solve(nb, buckets, b, rowptr[:-1],
-                                        dpos, cj)
+                                        dpos, cj, st_perm)
     packed["bwd"] = _build_packed_solve(nb, list(reversed(buckets)), b,
-                                        upos, rowptr[1:], cj)
+                                        upos, rowptr[1:], cj, st_perm)
 
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
@@ -306,184 +321,107 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
         lvl_cols=lvl_cols, packed=packed)
 
 
-def _build_packed_schedule(nb, nblk, buckets, bsz, store, diag_idx,
-                           st_c, ci_c, ls_, colptr, cj, upos, rowptr,
-                           nl, nu):
-    """COMPACT static numeric schedule (fully vectorized construction).
+def _build_packed_left(nb, nblk, nlev, buckets, bsz, store, diag_idx,
+                       sec_bounds, st_c, ci_c, ls_, colptr, cj, upos,
+                       rowptr, nl, nu, st_perm, ord_st, ci, section,
+                       blk_lvl, own_k, other):
+    """LEFT-LOOKING packed schedule (vectorized construction).
 
-    Three row types (dispatched with lax.switch at run time):
-      0 INV — invert up to Winv diagonal blocks of one level
-      1 PAN — form up to Lcap L-panels  Lhat_ik = A_ik @ Dinv_k
-      2 CTR — up to Ccap Schur contributions Lhat_ik @ A_kj, combined by
-              a sorted segment_sum and ONE duplicate-free scatter-add
+    Contributions Lhat(i,m) @ U(m,j) are grouped by their TARGET block
+    (i, j); storage is ordered by the target's finalization level and
+    section, so every scan row finalizes one CONTIGUOUS storage range
+    [t0, t0+len): gather pairs, segment-sum, subtract from the assembled
+    values, post-process by section (invert diagonals / right-multiply
+    L panels by Dinv / keep U panels), and write back with ONE
+    dynamic_update_slice. No scatters anywhere.
 
-    Every index list holds only REAL work items (plus bounded row
-    padding): scatters are in-bounds-unique (pads use distinct
-    out-of-bounds ids, mode="drop") and segment ids are sorted — the
-    combination XLA:TPU lowers to its fast scatter path."""
-    per_row_elems = 4_000_000  # ~16 MB f32 per gathered operand — larger
-    # single scatters/segment-sums have crashed the TPU runtime
-    cap_items = max(256, per_row_elems // (bsz * bsz))
-    Winv = int(min(max(64, 65536 // bsz), max(8, nb)))
-    # bound caps by the LARGEST level's real needs — rows of small
-    # problems must stay small (padding is processed work)
-    max_pan = 1
-    max_ctr = 1
+    Row types: 0 = diagonal range, 1 = L range, 2 = U range."""
+    bb = bsz * bsz
+    TL = max(64, min(1024, 4_000_000 // bb))       # target slots per row
+    Ccap = max(256, 16_000_000 // bb)              # pairs per row
+
+    # enumerate ALL contribution pairs, grouped per SOURCE column m
+    l_parts, u_parts, t_parts = [], [], []
     for cols in buckets:
         cols = np.asarray(cols, dtype=np.int64)
-        if len(cols):
-            max_pan = max(max_pan, int(nl[cols].sum()))
-            max_ctr = max(max_ctr, int((nl[cols] * nu[cols]).sum()))
-    Lcap = int(min(cap_items, max(32, max_pan)))
-    Ccap = int(min(cap_items, max(64, max_ctr)))
-    Ucap = int(min(max(64, cap_items // 2), max(64, max_ctr)))
-
-    empty = np.zeros(0, dtype=np.int64)
-    rows = []  # (type, payload)
-    for cols in buckets:
-        cols = np.asarray(cols, dtype=np.int64)
-        if not len(cols):
+        if not len(cols) or not int((nl[cols] * nu[cols]).sum()):
             continue
-        inv_chunks = [cols[sch:sch + Winv]
-                      for sch in range(0, len(cols), Winv)]
-        # panels: src storage (column-lower slices), dinv storage
-        pan_src = (np.concatenate([st_c[ls_[k]:colptr[k + 1]]
-                                   for k in cols]) if nl[cols].sum()
-                   else empty)
-        pan_dv = np.repeat(diag_idx[cols], nl[cols])
-        pan_chunks = [(pan_src[sch:sch + Lcap], pan_dv[sch:sch + Lcap])
-                      for sch in range(0, len(pan_src), Lcap)]
-        # contributions: cross products lower x upper per column
-        ctr_chunks = []
-        ctr_srt = None
-        tot = int((nl[cols] * nu[cols]).sum())
-        if tot:
-            i_all = np.concatenate(
-                [np.repeat(ci_c[ls_[k]:colptr[k + 1]], nu[k])
-                 for k in cols])
-            l_all = np.concatenate(
-                [np.repeat(st_c[ls_[k]:colptr[k + 1]], nu[k])
-                 for k in cols])
-            j_all = np.concatenate(
-                [np.tile(cj[upos[k]:rowptr[k + 1]], nl[k]) for k in cols])
-            u_all = np.concatenate(
-                [np.tile(np.arange(upos[k] + 1, rowptr[k + 1] + 1,
-                                   dtype=np.int64), nl[k]) for k in cols])
-            t_all = store(i_all, j_all)
-            srt = np.argsort(t_all, kind="stable")
-            ctr_srt = srt
-            t_s, l_s, u_s = t_all[srt], l_all[srt], u_all[srt]
-            uniq = np.empty(len(t_s), dtype=bool)
-            uniq[0] = True
-            uniq[1:] = t_s[1:] != t_s[:-1]
-            ucum = np.cumsum(uniq)
-            start = 0
-            N = len(t_s)
-            while start < N:
-                e_u = int(np.searchsorted(ucum, ucum[start] + Ucap - 1,
-                                          side="right"))
-                end = max(min(start + Ccap, e_u, N), start + 1)
-                seg = (ucum[start:end] - ucum[start]).astype(np.int64)
-                tflags = np.empty(end - start, dtype=bool)
-                tflags[0] = True
-                tflags[1:] = t_s[start + 1:end] != t_s[start:end - 1]
-                ctr_chunks.append((l_s[start:end], u_s[start:end], seg,
-                                   t_s[start:end][tflags]))
-                start = end
-        if (len(inv_chunks) <= 1 and len(pan_chunks) <= 1
-                and len(ctr_chunks) <= 1):
-            # whole level fits in ONE combined scan row (type 3) — the
-            # common case; scan-step count ~= tree depth. Lane arrays
-            # let panels read Dinv (and contributions read Lhat) from
-            # the row's BATCHES instead of scattered-then-gathered
-            # storage, so the row needs exactly ONE scatter.
-            pan_lane = np.repeat(np.arange(len(cols), dtype=np.int64),
-                                 nl[cols])
-            pan_off = np.concatenate(
-                [[0], np.cumsum(nl[cols])])[:-1]
-            if ctr_chunks:
-                lane_parts = [
-                    np.repeat(pan_off[a] + np.arange(nl[k],
-                                                     dtype=np.int64),
-                              nu[k])
-                    for a, k in enumerate(cols)]
-                c_lane_all = (np.concatenate(lane_parts)
-                              if lane_parts else empty)
-                c_lane = c_lane_all[ctr_srt]
-            else:
-                c_lane = empty
-            rows.append((3, (inv_chunks[0] if inv_chunks else empty,
-                             pan_chunks[0] if pan_chunks else (empty,
-                                                               empty),
-                             ctr_chunks[0] if ctr_chunks else
-                             (empty, empty, empty, empty),
-                             pan_lane, c_lane)))
-        else:
-            for cc in inv_chunks:
-                rows.append((0, (cc,)))
-            for pc in pan_chunks:
-                rows.append((1, pc))
-            for tc in ctr_chunks:
-                rows.append((2, tc))
+        i_all = np.concatenate(
+            [np.repeat(ci_c[ls_[m]:colptr[m + 1]], nu[m]) for m in cols])
+        l_all = np.concatenate(
+            [np.repeat(st_c[ls_[m]:colptr[m + 1]], nu[m]) for m in cols])
+        j_all = np.concatenate(
+            [np.tile(cj[upos[m]:rowptr[m + 1]], nl[m]) for m in cols])
+        u_all = np.concatenate(
+            [np.tile(st_perm[np.arange(upos[m], rowptr[m + 1])], nl[m])
+             for m in cols])
+        l_parts.append(l_all)
+        u_parts.append(u_all)
+        t_parts.append(store(i_all, j_all))
+    if t_parts:
+        l_glob = np.concatenate(l_parts)
+        u_glob = np.concatenate(u_parts)
+        t_glob = np.concatenate(t_parts)
+        srt = np.argsort(t_glob, kind="stable")
+        l_glob, u_glob, t_glob = l_glob[srt], u_glob[srt], t_glob[srt]
+    else:
+        l_glob = u_glob = t_glob = np.zeros(0, dtype=np.int64)
+    # pairs-per-storage-slot prefix (storage ids 1..nblk-1)
+    pair_ptr = np.searchsorted(t_glob, np.arange(1, nblk + 1))
+    Ccap = int(max(Ccap, np.diff(np.concatenate([[0], pair_ptr])).max()
+                   if nblk > 1 else 1))
+
+    # per-L-block diagonal storage (for the Dinv right-multiply),
+    # indexed by storage id
+    dinv_of_storage = np.zeros(nblk, dtype=np.int64)
+    lmask = section[ord_st] == 1                 # storage-ordered sections
+    lstor = np.arange(1, nblk)[lmask]
+    lcols = own_k[ord_st][lmask]
+    dinv_of_storage[lstor] = diag_idx[lcols]
+
+    rows = []   # (type, t0, ln, pair_slice)
+    for t in range(nlev):
+        for sec in range(3):
+            s0 = int(sec_bounds[t * 3 + sec])
+            s1 = int(sec_bounds[t * 3 + sec + 1])
+            pos = s0
+            while pos < s1:
+                ln = min(TL, s1 - pos)
+                p0 = pair_ptr[pos - 1] if pos > 1 else 0
+                # shrink ln so the pair count fits Ccap
+                while ln > 1 and (pair_ptr[pos + ln - 1] - p0) > Ccap:
+                    ln -= 1
+                p1 = pair_ptr[pos + ln - 1]
+                rows.append((sec, pos, ln, p0, p1))
+                pos += ln
 
     nrows = max(len(rows), 1)
     r_type = np.zeros(nrows, dtype=np.int32)
-    # pad columns get DISTINCT ids >= nb so the diagonal scatter's dropped
-    # indices stay unique (unique_indices=True contract)
-    inv_cols = np.tile(nb + np.arange(Winv, dtype=np.int32), (nrows, 1))
-    pan_src_a = np.zeros((nrows, Lcap), dtype=np.int32)
-    pan_dinv_a = np.zeros((nrows, Lcap), dtype=np.int32)
-    pan_dst_a = np.tile(nblk + Winv + np.arange(Lcap, dtype=np.int32),
-                        (nrows, 1))
-    c_l = np.zeros((nrows, Ccap), dtype=np.int32)
-    c_u = np.zeros((nrows, Ccap), dtype=np.int32)
-    c_seg = np.full((nrows, Ccap), Ucap, dtype=np.int32)
-    # pad ranges are DISJOINT across sections so a combined scatter's
-    # dropped indices stay globally unique
-    c_tgt = np.tile(nblk + Winv + Lcap + np.arange(Ucap, dtype=np.int32),
-                    (nrows, 1))
-    pan_lane_a = np.zeros((nrows, Lcap), dtype=np.int32)
-    c_lane_a = np.zeros((nrows, Ccap), dtype=np.int32)
-    def put_inv(rr, cc):
-        inv_cols[rr, :len(cc)] = cc
-
-    def put_pan(rr, payload):
-        src, dv = payload
-        pan_src_a[rr, :len(src)] = src
-        pan_dinv_a[rr, :len(src)] = dv
-        pan_dst_a[rr, :len(src)] = src
-
-    def put_ctr(rr, payload):
-        ls2, us2, seg, tg = payload
-        c_l[rr, :len(ls2)] = ls2
-        c_u[rr, :len(us2)] = us2
-        c_seg[rr, :len(seg)] = seg
-        c_tgt[rr, :len(tg)] = tg
-
-    for rr, (rt, payload) in enumerate(rows):
-        r_type[rr] = rt
-        if rt == 0:
-            put_inv(rr, payload[0])
-        elif rt == 1:
-            put_pan(rr, payload)
-        elif rt == 2:
-            put_ctr(rr, payload)
-        else:
-            put_inv(rr, payload[0])
-            put_pan(rr, payload[1])
-            put_ctr(rr, payload[2])
-            pan_lane_a[rr, :len(payload[3])] = payload[3]
-            c_lane_a[rr, :len(payload[4])] = payload[4]
+    r_t0 = np.zeros(nrows, dtype=np.int32)
+    r_len = np.zeros(nrows, dtype=np.int32)
+    pair_l = np.zeros((nrows, Ccap), dtype=np.int32)
+    pair_u = np.zeros((nrows, Ccap), dtype=np.int32)
+    pair_seg = np.full((nrows, Ccap), TL, dtype=np.int32)
+    dinv_a = np.zeros((nrows, TL), dtype=np.int32)
+    for rr, (sec, t0, ln, p0, p1) in enumerate(rows):
+        r_type[rr] = sec
+        r_t0[rr] = t0
+        r_len[rr] = ln
+        npair = p1 - p0
+        pair_l[rr, :npair] = l_glob[p0:p1]
+        pair_u[rr, :npair] = u_glob[p0:p1]
+        pair_seg[rr, :npair] = t_glob[p0:p1] - t0
+        if sec == 1:
+            dinv_a[rr, :ln] = dinv_of_storage[t0:t0 + ln]
     return {
-        "r_type": r_type, "inv_cols": inv_cols,
-        "pan_src": pan_src_a, "pan_dinv": pan_dinv_a, "pan_dst": pan_dst_a,
-        "pan_lane": pan_lane_a, "c_lane": c_lane_a,
-        "c_l": c_l, "c_u": c_u, "c_seg": c_seg, "c_tgt": c_tgt,
-        "Winv": Winv, "Lcap": Lcap, "Ccap": Ccap, "Ucap": Ucap,
+        "r_type": r_type, "t0": r_t0, "len": r_len,
+        "pair_l": pair_l, "pair_u": pair_u, "pair_seg": pair_seg,
+        "dinv": dinv_a, "TL": TL, "Ccap": Ccap,
     }
 
 
-def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj):
+def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj,
+                        st_perm):
     """Packed substitution schedule for one direction (vectorized).
 
     Row k's couplings live at row-major positions [start_arr[k],
@@ -520,8 +458,8 @@ def _build_packed_solve(nb, buckets, bsz, start_arr, end_arr, cj):
             gi = max(min(gi, g0 + Ucap, G), g0 + 1)
             ck = cols[g0:gi]
             src = np.concatenate(
-                [np.arange(start_arr[k] + 1, end_arr[k] + 1,
-                           dtype=np.int64) for k in ck])                 if sz[g0:gi].sum() else np.zeros(0, dtype=np.int64)
+                [st_perm[np.arange(start_arr[k], end_arr[k])]
+                            for k in ck])                 if sz[g0:gi].sum() else np.zeros(0, dtype=np.int64)
             col = np.concatenate(
                 [cj[start_arr[k]:end_arr[k]] for k in ck])                 if sz[g0:gi].sum() else np.zeros(0, dtype=np.int64)
             seg = np.repeat(np.arange(gi - g0, dtype=np.int64), sz[g0:gi])
@@ -624,151 +562,84 @@ def splu_factorize(plan: SpluPlan, data):
 
 def splu_factorize_multi(plan: SpluPlan, datas):
     """Factorize SEVERAL matrices with the same sparsity in ONE scan over
-    the packed schedule — the Radau5 real/complex pair shares every
-    scan-step's fixed cost (the TPU analog of the reference's 2-thread
-    concurrent factorization, P5). dtypes may differ per matrix."""
+    the packed left-looking schedule — the Radau5 real/complex pair
+    shares every scan-step's fixed cost (the TPU analog of the
+    reference's 2-thread concurrent factorization, P5). dtypes may
+    differ per matrix. Scatter-free: each row gathers its contribution
+    pairs, segment-sums them, post-processes one contiguous storage
+    range, and writes it back with dynamic_update_slice."""
     b, nb, nblk = plan.b, plan.nb, plan.nblk
+    bb = b * b
     pk = plan.packed
+    TL = pk["TL"]
 
     states = []
     deltas = []
     for data in datas:
         data = jnp.asarray(data)
         dtype = data.dtype
-        flat = jnp.zeros(nblk * b * b, dtype=dtype)
+        flat = jnp.zeros((nblk + TL) * bb, dtype=dtype)
         if len(plan.pad_idx):
             flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
         flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
-        # FLAT block-row storage: gathers and scatters then share one
-        # layout (3-D block storage made XLA ping-pong the whole array
-        # between a gather layout and a scatter layout EVERY scan row —
-        # hundreds of MB of copies per row, seen in the optimized HLO)
-        blocks = flat.reshape(nblk, b * b)
+        blocks = flat.reshape(nblk + TL, bb)
         rdt = jnp.zeros((), dtype=dtype).real.dtype
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
                        jnp.asarray(jnp.inf, rdt),
                        jnp.zeros((), jnp.int32)))
 
-    Winv = pk["Winv"]
-    diag_g = jnp.asarray(np.concatenate(
-        [plan.diag_idx, np.zeros(Winv, dtype=np.int64)]).astype(np.int32))
-    diag_s = jnp.asarray(np.concatenate(
-        [plan.diag_idx,
-         nblk + np.arange(Winv, dtype=np.int64)]).astype(np.int32))
-    Ucap = pk["Ucap"]
-
     xs = {k: jnp.asarray(pk[k]) for k in
-          ("r_type", "inv_cols", "pan_src", "pan_dinv", "pan_dst",
-           "pan_lane", "c_lane", "c_l", "c_u", "c_seg", "c_tgt")}
+          ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
+           "dinv")}
 
-    def _g(blocks, idx):
-        return blocks[idx].reshape(idx.shape[0], b, b)
-
-    def _v(mats):
-        return mats.reshape(mats.shape[0], b * b)
-
-    def do_inv(carry):
-        sts, x = carry
-        cols = x["inv_cols"]
-        live = cols < nb
-        out = []
+    def row_step(sts, x):
+        lane = jnp.arange(TL, dtype=jnp.int32)
+        live = lane < x["len"]
+        out_states = []
         for (blocks, ld, mp, npert), delta in zip(sts, deltas):
-            D = _g(blocks, diag_g[cols])
-            Dinv, ldw, mpw, npw = _inv_block(D, delta)
-            blocks = blocks.at[diag_s[cols]].set(
-                _v(Dinv), mode="drop", unique_indices=True)
-            ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
-            mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
-            npert = npert + jnp.sum(
-                jnp.where(live, npw, 0)).astype(jnp.int32)
-            out.append((blocks, ld, mp, npert))
-        return tuple(out), x
-
-    def do_pan(carry):
-        sts, x = carry
-        out = []
-        for (blocks, ld, mp, npert) in sts:
-            A = _g(blocks, x["pan_src"])
-            Dv = _g(blocks, x["pan_dinv"])
-            Lh = jnp.einsum("cij,cjk->cik", A, Dv,
-                            preferred_element_type=blocks.dtype)
-            blocks = blocks.at[x["pan_dst"]].set(
-                _v(Lh), mode="drop", unique_indices=True)
-            out.append((blocks, ld, mp, npert))
-        return tuple(out), x
-
-    def do_ctr(carry):
-        sts, x = carry
-        out = []
-        for (blocks, ld, mp, npert) in sts:
-            Ls = _g(blocks, x["c_l"])
-            Us = _g(blocks, x["c_u"])
+            dtype = blocks.dtype
+            t0 = x["t0"]
+            z0 = jnp.zeros((), dtype=t0.dtype)
+            cur = lax.dynamic_slice(blocks, (t0, z0), (TL, bb))
+            Ls = blocks[x["pair_l"]].reshape(-1, b, b)
+            Us = blocks[x["pair_u"]].reshape(-1, b, b)
             prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                              preferred_element_type=blocks.dtype)
-            summed = jax.ops.segment_sum(_v(prod), x["c_seg"],
-                                         num_segments=Ucap + 1,
-                                         indices_are_sorted=True)
-            blocks = blocks.at[x["c_tgt"]].add(
-                -summed[:Ucap], mode="drop", unique_indices=True)
-            out.append((blocks, ld, mp, npert))
-        return tuple(out), x
+                              preferred_element_type=dtype)
+            summed = jax.ops.segment_sum(
+                prod.reshape(-1, bb), x["pair_seg"],
+                num_segments=TL + 1, indices_are_sorted=True)
+            vals = cur - summed[:TL]
 
-    def do_all(carry):
-        """Merged level row: all three phases with ONE combined scatter.
-        Panels read Dinv from the inversion batch (pan_lane) and
-        contributions read Lhat from the panel batch (c_lane), so no
-        intermediate storage round-trips happen within the row."""
-        sts, x = carry
-        cols = x["inv_cols"]
-        live = cols < nb
-        out = []
-        for (blocks, ld, mp, npert), delta in zip(sts, deltas):
-            D = _g(blocks, diag_g[cols])
-            Dinv, ldw, mpw, npw = _inv_block(D, delta)
-            A = _g(blocks, x["pan_src"])
-            Dv = Dinv[x["pan_lane"]]
-            Lh = jnp.einsum("cij,cjk->cik", A, Dv,
-                            preferred_element_type=blocks.dtype)
-            Ls = Lh[x["c_lane"]]
-            Us = _g(blocks, x["c_u"])
-            prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                              preferred_element_type=blocks.dtype)
-            summed = jax.ops.segment_sum(_v(prod), x["c_seg"],
-                                         num_segments=Ucap + 1,
-                                         indices_are_sorted=True)
-            # SET for the new diagonal inverses + panels (an add of
-            # new-old would round at |old|*eps and poison the factors),
-            # one ADD for the Schur contributions
-            idx_set = jnp.concatenate([diag_s[cols], x["pan_dst"]])
-            vals_set = jnp.concatenate([_v(Dinv), _v(Lh)])
-            blocks = blocks.at[idx_set].set(vals_set, mode="drop",
-                                            unique_indices=True)
-            blocks = blocks.at[x["c_tgt"]].add(-summed[:Ucap],
-                                               mode="drop",
-                                               unique_indices=True)
-            ld = ld + jnp.sum(jnp.where(live, ldw, 0.0))
-            mp = jnp.minimum(mp, jnp.min(jnp.where(live, mpw, jnp.inf)))
-            npert = npert + jnp.sum(
-                jnp.where(live, npw, 0)).astype(jnp.int32)
-            out.append((blocks, ld, mp, npert))
-        return tuple(out), x
+            def do_diag(vals):
+                Dinv, ldw, mpw, npw = _inv_block(
+                    vals.reshape(TL, b, b), delta)
+                ldd = jnp.sum(jnp.where(live, ldw, 0.0))
+                mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
+                npd = jnp.sum(jnp.where(live, npw, 0)).astype(jnp.int32)
+                return Dinv.reshape(TL, bb), ldd, mpd, npd
 
-    import os as _os
-    if _os.environ.get("RUSSELL_TPU_SPLU_NOSWITCH"):
-        # storage-based sections are no-ops when padded, so running all
-        # three on every row is semantically identical to the dispatch
-        # (do_all's lane indexing is only valid on merged rows, so use
-        # the storage-based composition here)
-        def row_step(sts, x):
-            sts, _ = do_ctr(do_pan(do_inv((sts, x))))
-            return sts, None
-    else:
-        def row_step(sts, x):
-            sts, _ = lax.switch(x["r_type"],
-                                [do_inv, do_pan, do_ctr, do_all],
-                                (sts, x))
-            return sts, None
+            def do_lpan(vals):
+                Dv = blocks[x["dinv"]].reshape(TL, b, b)
+                Lh = jnp.einsum("cij,cjk->cik", vals.reshape(TL, b, b),
+                                Dv, preferred_element_type=dtype)
+                z = jnp.zeros((), ld.dtype)
+                return (Lh.reshape(TL, bb), z, jnp.asarray(jnp.inf,
+                                                           mp.dtype),
+                        jnp.zeros((), jnp.int32))
+
+            def do_upan(vals):
+                z = jnp.zeros((), ld.dtype)
+                return (vals, z, jnp.asarray(jnp.inf, mp.dtype),
+                        jnp.zeros((), jnp.int32))
+
+            newv, ldd, mpd, npd = lax.switch(
+                x["r_type"], [do_diag, do_lpan, do_upan], vals)
+            outv = jnp.where(live[:, None], newv, cur)
+            blocks = lax.dynamic_update_slice(blocks, outv, (t0, z0))
+            out_states.append((blocks, ld + ldd, jnp.minimum(mp, mpd),
+                               npert + npd))
+        return tuple(out_states), None
 
     out_states, _ = lax.scan(row_step, tuple(states), xs)
     facs = []

@@ -410,11 +410,16 @@ def test_nd_separator_quality_and_packed_schedule():
     plan = _splu.splu_analyze(n, ii, jj, block_size=32, ordering="nd")
     pk = plan.packed
     assert len(pk["r_type"]) < plan.nb                   # real batching
-    # packed schedule invariants: in-bounds scatter ids unique per row
-    for r in range(min(len(pk["r_type"]), 50)):
-        tg = pk["c_tgt"][r]
-        inb = tg[tg < plan.nblk]
-        assert len(np.unique(inb)) == len(inb)
+    # left-looking schedule invariants: contiguous non-overlapping
+    # target ranges that cover all stored blocks exactly once
+    spans = sorted(zip(pk["t0"].tolist(), pk["len"].tolist()))
+    covered = 0
+    prev_end = 1
+    for t0, ln in spans:
+        assert t0 == prev_end
+        prev_end = t0 + ln
+        covered += ln
+    assert covered == plan.nblk - 1
 
 
 def test_splu_pair_factorize_solve_matches_separate():
