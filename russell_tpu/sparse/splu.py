@@ -562,12 +562,17 @@ def splu_factorize(plan: SpluPlan, data):
 
 def splu_factorize_multi(plan: SpluPlan, datas):
     """Factorize SEVERAL matrices with the same sparsity in ONE scan over
-    the packed left-looking schedule — the Radau5 real/complex pair
-    shares every scan-step's fixed cost (the TPU analog of the
-    reference's 2-thread concurrent factorization, P5). dtypes may
-    differ per matrix. Scatter-free: each row gathers its contribution
-    pairs, segment-sums them, post-processes one contiguous storage
-    range, and writes it back with dynamic_update_slice."""
+    the packed left-looking schedule (the Radau5 real/complex pair shares
+    every scan-step's fixed cost — P5). Scatter-free: each row gathers
+    its contribution pairs, segment-sums them, post-processes one
+    contiguous storage range, and writes back with dynamic_update_slice.
+
+    COMPLEX matrices are stored as REAL PLANES (nblk, 2*b*b): on this
+    TPU backend complex indexed ops (gather / dynamic_update_slice) are
+    four orders of magnitude slower than f32, while complex dense math
+    is fine — so all indexing runs on the planes and values convert to
+    complex only inside the row's einsums. Diagonal inversion uses the
+    [[R,-I],[I,R]] real embedding (log|det K| = 2 log|det M|)."""
     b, nb, nblk = plan.b, plan.nb, plan.nblk
     bb = b * b
     pk = plan.packed
@@ -575,15 +580,30 @@ def splu_factorize_multi(plan: SpluPlan, datas):
 
     states = []
     deltas = []
+    cplxs = []
     for data in datas:
         data = jnp.asarray(data)
-        dtype = data.dtype
-        flat = jnp.zeros((nblk + TL) * bb, dtype=dtype)
-        if len(plan.pad_idx):
-            flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
-        flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
-        blocks = flat.reshape(nblk + TL, bb)
-        rdt = jnp.zeros((), dtype=dtype).real.dtype
+        cplx = jnp.iscomplexobj(data)
+        cplxs.append(cplx)
+        sc_idx = jnp.asarray(plan.scatter_idx)
+        if cplx:
+            rdt = jnp.real(data).dtype
+            fr = jnp.zeros((nblk + TL) * bb, dtype=rdt)
+            fi = jnp.zeros((nblk + TL) * bb, dtype=rdt)
+            if len(plan.pad_idx):
+                fr = fr.at[jnp.asarray(plan.pad_idx)].set(1.0)
+            fr = fr.at[sc_idx].add(jnp.real(data))
+            fi = fi.at[sc_idx].add(jnp.imag(data))
+            blocks = jnp.concatenate(
+                [fr.reshape(-1, 1, bb), fi.reshape(-1, 1, bb)],
+                axis=1).reshape(nblk + TL, 2 * bb)
+        else:
+            rdt = data.dtype
+            flat = jnp.zeros((nblk + TL) * bb, dtype=rdt)
+            if len(plan.pad_idx):
+                flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
+            flat = flat.at[sc_idx].add(data)
+            blocks = flat.reshape(nblk + TL, bb)
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
                        jnp.asarray(jnp.inf, rdt),
@@ -593,40 +613,88 @@ def splu_factorize_multi(plan: SpluPlan, datas):
           ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
            "dinv")}
 
+    def to_c(v):
+        cdt = (jnp.complex64 if v.dtype == jnp.float32
+               else jnp.complex128)
+        v = v.reshape(-1, 2, b, b)
+        return v[:, 0].astype(cdt) + 1j * v[:, 1].astype(cdt)
+
+    def to_planes(m):
+        return jnp.concatenate(
+            [jnp.real(m).reshape(-1, 1, bb), jnp.imag(m).reshape(-1, 1, bb)],
+            axis=1).reshape(m.shape[0], 2 * bb)
+
     def row_step(sts, x):
         lane = jnp.arange(TL, dtype=jnp.int32)
         live = lane < x["len"]
+        t0 = x["t0"]
+        z0 = jnp.zeros((), dtype=t0.dtype)
         out_states = []
-        for (blocks, ld, mp, npert), delta in zip(sts, deltas):
-            dtype = blocks.dtype
-            t0 = x["t0"]
-            z0 = jnp.zeros((), dtype=t0.dtype)
-            cur = lax.dynamic_slice(blocks, (t0, z0), (TL, bb))
-            Ls = blocks[x["pair_l"]].reshape(-1, b, b)
-            Us = blocks[x["pair_u"]].reshape(-1, b, b)
+        for (blocks, ld, mp, npert), delta, cplx in zip(sts, deltas,
+                                                        cplxs):
+            width = blocks.shape[1]
+            cur = lax.dynamic_slice(blocks, (t0, z0), (TL, width))
+            gl = blocks[x["pair_l"]]
+            gu = blocks[x["pair_u"]]
+            if cplx:
+                Ls, Us = to_c(gl), to_c(gu)
+            else:
+                Ls = gl.reshape(-1, b, b)
+                Us = gu.reshape(-1, b, b)
             prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                              preferred_element_type=dtype)
-            summed = jax.ops.segment_sum(
-                prod.reshape(-1, bb), x["pair_seg"],
-                num_segments=TL + 1, indices_are_sorted=True)
+                              preferred_element_type=Ls.dtype)
+            pr = to_planes(prod) if cplx else prod.reshape(-1, bb)
+            summed = jax.ops.segment_sum(pr, x["pair_seg"],
+                                         num_segments=TL + 1,
+                                         indices_are_sorted=True)
             vals = cur - summed[:TL]
 
-            def do_diag(vals):
-                Dinv, ldw, mpw, npw = _inv_block(
-                    vals.reshape(TL, b, b), delta)
-                ldd = jnp.sum(jnp.where(live, ldw, 0.0))
-                mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
-                npd = jnp.sum(jnp.where(live, npw, 0)).astype(jnp.int32)
-                return Dinv.reshape(TL, bb), ldd, mpd, npd
+            if cplx:
+                def do_diag(vals):
+                    v = vals.reshape(TL, 2, b, b)
+                    R, I = v[:, 0], v[:, 1]
+                    top = jnp.concatenate([R, -I], axis=-1)
+                    bot = jnp.concatenate([I, R], axis=-1)
+                    K = jnp.concatenate([top, bot], axis=-2)
+                    Kinv, ldw, mpw, npw = _inv_block(K, delta)
+                    X = Kinv[:, :b, :b]
+                    Y = Kinv[:, b:, :b]
+                    newv = jnp.concatenate(
+                        [X.reshape(TL, 1, bb), Y.reshape(TL, 1, bb)],
+                        axis=1).reshape(TL, 2 * bb)
+                    ldd = jnp.sum(jnp.where(live, 0.5 * ldw, 0.0))
+                    mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
+                    npd = jnp.sum(jnp.where(live, npw,
+                                            0)).astype(jnp.int32)
+                    return newv, ldd, mpd, npd
 
-            def do_lpan(vals):
-                Dv = blocks[x["dinv"]].reshape(TL, b, b)
-                Lh = jnp.einsum("cij,cjk->cik", vals.reshape(TL, b, b),
-                                Dv, preferred_element_type=dtype)
-                z = jnp.zeros((), ld.dtype)
-                return (Lh.reshape(TL, bb), z, jnp.asarray(jnp.inf,
-                                                           mp.dtype),
-                        jnp.zeros((), jnp.int32))
+                def do_lpan(vals):
+                    Dv = to_c(blocks[x["dinv"]])
+                    Lh = jnp.einsum("cij,cjk->cik", to_c(vals), Dv,
+                                    preferred_element_type=Dv.dtype)
+                    z = jnp.zeros((), ld.dtype)
+                    return (to_planes(Lh), z,
+                            jnp.asarray(jnp.inf, mp.dtype),
+                            jnp.zeros((), jnp.int32))
+            else:
+                def do_diag(vals):
+                    Dinv, ldw, mpw, npw = _inv_block(
+                        vals.reshape(TL, b, b), delta)
+                    ldd = jnp.sum(jnp.where(live, ldw, 0.0))
+                    mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
+                    npd = jnp.sum(jnp.where(live, npw,
+                                            0)).astype(jnp.int32)
+                    return Dinv.reshape(TL, bb), ldd, mpd, npd
+
+                def do_lpan(vals):
+                    Dv = blocks[x["dinv"]].reshape(TL, b, b)
+                    Lh = jnp.einsum("cij,cjk->cik",
+                                    vals.reshape(TL, b, b), Dv,
+                                    preferred_element_type=Dv.dtype)
+                    z = jnp.zeros((), ld.dtype)
+                    return (Lh.reshape(TL, bb), z,
+                            jnp.asarray(jnp.inf, mp.dtype),
+                            jnp.zeros((), jnp.int32))
 
             def do_upan(vals):
                 z = jnp.zeros((), ld.dtype)
@@ -643,9 +711,9 @@ def splu_factorize_multi(plan: SpluPlan, datas):
 
     out_states, _ = lax.scan(row_step, tuple(states), xs)
     facs = []
-    for (blocks, ld, mp, npert) in out_states:
+    for (blocks, ld, mp, npert), cplx in zip(out_states, cplxs):
         facs.append({
-            "blocks": blocks,
+            "blocks": blocks,            # planes layout iff complex
             "logdet": ld,
             "phase": jnp.ones((), dtype=blocks.dtype),
             "min_pivot": mp,
@@ -668,24 +736,55 @@ def splu_solve(plan: SpluPlan, fac, bvec):
 def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     """Solve SEVERAL systems (their own factors and right-hand sides, same
     sparsity plan) in ONE pass — the scan-step fixed costs are shared
-    (Radau5 solves its real and complex Newton systems together)."""
+    (Radau5 solves its real and complex Newton systems together).
+    Complex systems run on real planes end to end (see
+    splu_factorize_multi); only the per-row block math is complex."""
     b, nb = plan.b, plan.nb
+    bb = b * b
     perm = jnp.asarray(plan.perm)
     diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
 
-    # flat (nblk, b*b) storage; accept legacy 3-D (e.g. dist_splu)
     blks = []
-    for fac in facs:
-        bl = fac["blocks"]
-        if bl.ndim == 3:
-            bl = bl.reshape(bl.shape[0], b * b)
-        blks.append(bl)
+    cplxs = []
     bps = []
     for fac, bvec in zip(facs, bvecs):
-        dtype = fac["blocks"].dtype
-        bp = jnp.zeros(nb * b, dtype=dtype)
-        bp = bp.at[perm].set(jnp.asarray(bvec).astype(dtype))
-        bps.append(bp.reshape(nb, b))
+        bl = fac["blocks"]
+        if bl.ndim == 3:            # legacy 3-D (dist_splu), real only
+            bl = bl.reshape(bl.shape[0], b * b)
+        cplx = bl.shape[1] == 2 * bb   # planes layout (shape is static)
+        blks.append(bl)
+        cplxs.append(cplx)
+        bvec = jnp.asarray(bvec)
+        if cplx:
+            rdt = bl.dtype
+            bpr = jnp.zeros(nb * b, dtype=rdt).at[perm].set(
+                jnp.real(bvec).astype(rdt))
+            bpi = jnp.zeros(nb * b, dtype=rdt).at[perm].set(
+                jnp.imag(bvec).astype(rdt))
+            bp = jnp.concatenate(
+                [bpr.reshape(nb, 1, b), bpi.reshape(nb, 1, b)],
+                axis=1).reshape(nb, 2 * b)
+        else:
+            bp = jnp.zeros(nb * b, dtype=bl.dtype).at[perm].set(
+                bvec.astype(bl.dtype)).reshape(nb, b)
+        bps.append(bp)
+
+    def blk_c(bl, idx):
+        cdt = (jnp.complex64 if bl.dtype == jnp.float32
+               else jnp.complex128)
+        v = bl[idx].reshape(-1, 2, b, b)
+        return v[:, 0].astype(cdt) + 1j * v[:, 1].astype(cdt)
+
+    def vec_c(v2):
+        cdt = (jnp.complex64 if v2.dtype == jnp.float32
+               else jnp.complex128)
+        v2 = v2.reshape(-1, 2, b)
+        return v2[:, 0].astype(cdt) + 1j * v2[:, 1].astype(cdt)
+
+    def vec_planes(vc):
+        return jnp.concatenate(
+            [jnp.real(vc).reshape(-1, 1, b), jnp.imag(vc).reshape(-1, 1, b)],
+            axis=1).reshape(vc.shape[0], 2 * b)
 
     def run(direction, rhs_list, apply_dinv):
         pk = plan.packed[direction]
@@ -695,28 +794,52 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
 
         def row(vs, x):
             out = []
-            for v, blocks, rhs_rows in zip(vs, blks, rhs_list):
-                dtype = blocks.dtype
-                S = blocks[x["src"]].reshape(-1, b, b)  # pad -> zeros
-                vj = v[x["col"]]               # (C, b)
-                prod = jnp.einsum("cij,cj->ci", S, vj,
-                                  preferred_element_type=dtype)
-                summed = jax.ops.segment_sum(prod, x["seg"],
-                                             num_segments=Ucap + 1,
-                                             indices_are_sorted=True)
-                rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
-                if apply_dinv:
-                    Dv = blocks[diag_g[x["tgt_g"]]].reshape(-1, b, b)
-                    rr = jnp.einsum("cij,cj->ci", Dv, rr,
-                                    preferred_element_type=dtype)
+            for v, bl, rhs_rows, cplx in zip(vs, blks, rhs_list, cplxs):
+                if cplx:
+                    S = blk_c(bl, x["src"])
+                    vj = vec_c(v[x["col"]])
+                    prod = jnp.einsum("cij,cj->ci", S, vj)
+                    summed = jax.ops.segment_sum(
+                        vec_planes(prod), x["seg"],
+                        num_segments=Ucap + 1, indices_are_sorted=True)
+                    rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
+                    if apply_dinv:
+                        Dv = blk_c(bl, diag_g[x["tgt_g"]])
+                        rr = vec_planes(jnp.einsum("cij,cj->ci", Dv,
+                                                   vec_c(rr)))
+                else:
+                    S = bl[x["src"]].reshape(-1, b, b)
+                    vj = v[x["col"]]
+                    prod = jnp.einsum("cij,cj->ci", S, vj,
+                                      preferred_element_type=bl.dtype)
+                    summed = jax.ops.segment_sum(
+                        prod, x["seg"], num_segments=Ucap + 1,
+                        indices_are_sorted=True)
+                    rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
+                    if apply_dinv:
+                        Dv = bl[diag_g[x["tgt_g"]]].reshape(-1, b, b)
+                        rr = jnp.einsum("cij,cj->ci", Dv, rr,
+                                        preferred_element_type=bl.dtype)
                 out.append(v.at[x["tgt_s"]].set(rr, mode="drop",
                                                 unique_indices=True))
             return tuple(out), None
 
-        v0 = tuple(jnp.zeros((nb, b), dtype=bl.dtype) for bl in blks)
+        v0 = tuple(jnp.zeros((nb, (2 if c else 1) * b), dtype=bl.dtype)
+                   for bl, c in zip(blks, cplxs))
         vs, _ = lax.scan(row, v0, xs)
         return vs
 
     zs = run("fwd", bps, False)
     xs_out = run("bwd", zs, True)
-    return [x.reshape(nb * b)[perm] for x in xs_out]
+    outs = []
+    for x, cplx in zip(xs_out, cplxs):
+        if cplx:
+            cdt = (jnp.complex64 if x.dtype == jnp.float32
+                   else jnp.complex128)
+            v = x.reshape(nb, 2, b)
+            xc = (v[:, 0].astype(cdt)
+                  + 1j * v[:, 1].astype(cdt)).reshape(nb * b)
+            outs.append(xc[perm])
+        else:
+            outs.append(x.reshape(nb * b)[perm])
+    return outs
