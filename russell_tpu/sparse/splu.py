@@ -560,6 +560,46 @@ def splu_factorize(plan: SpluPlan, data):
     return splu_factorize_multi(plan, (data,))[0]
 
 
+def _cmul_planes(a, c, b):
+    """(C, 2*b*b) planes x (C, 2*b*b) planes -> (C, 2*b*b) planes complex
+    block product via four real einsums."""
+    ar = a.reshape(-1, 2, b, b)
+    cr = c.reshape(-1, 2, b, b)
+    Ar, Ai = ar[:, 0], ar[:, 1]
+    Br, Bi = cr[:, 0], cr[:, 1]
+    Pr = (jnp.einsum("cij,cjk->cik", Ar, Br,
+                     preferred_element_type=Ar.dtype)
+          - jnp.einsum("cij,cjk->cik", Ai, Bi,
+                       preferred_element_type=Ar.dtype))
+    Pi = (jnp.einsum("cij,cjk->cik", Ar, Bi,
+                     preferred_element_type=Ar.dtype)
+          + jnp.einsum("cij,cjk->cik", Ai, Br,
+                       preferred_element_type=Ar.dtype))
+    n = Pr.shape[0]
+    bb = b * b
+    return jnp.concatenate([Pr.reshape(n, 1, bb), Pi.reshape(n, 1, bb)],
+                           axis=1).reshape(n, 2 * bb)
+
+
+def _cmatvec_planes(a, v, b):
+    """(C, 2*b*b) block planes x (C, 2*b) vector planes -> (C, 2*b)."""
+    ar = a.reshape(-1, 2, b, b)
+    vr = v.reshape(-1, 2, b)
+    Ar, Ai = ar[:, 0], ar[:, 1]
+    xr, xi = vr[:, 0], vr[:, 1]
+    yr = (jnp.einsum("cij,cj->ci", Ar, xr,
+                     preferred_element_type=Ar.dtype)
+          - jnp.einsum("cij,cj->ci", Ai, xi,
+                       preferred_element_type=Ar.dtype))
+    yi = (jnp.einsum("cij,cj->ci", Ar, xi,
+                     preferred_element_type=Ar.dtype)
+          + jnp.einsum("cij,cj->ci", Ai, xr,
+                       preferred_element_type=Ar.dtype))
+    n = yr.shape[0]
+    return jnp.concatenate([yr.reshape(n, 1, b), yi.reshape(n, 1, b)],
+                           axis=1).reshape(n, 2 * b)
+
+
 def splu_factorize_multi(plan: SpluPlan, datas):
     """Factorize SEVERAL matrices with the same sparsity in ONE scan over
     the packed left-looking schedule (the Radau5 real/complex pair shares
@@ -637,13 +677,15 @@ def splu_factorize_multi(plan: SpluPlan, datas):
             gl = blocks[x["pair_l"]]
             gu = blocks[x["pair_u"]]
             if cplx:
-                Ls, Us = to_c(gl), to_c(gu)
+                # complex product via 4 REAL einsums (complex einsum is
+                # also pathologically slow on this backend)
+                pr = _cmul_planes(gl, gu, b)
             else:
                 Ls = gl.reshape(-1, b, b)
                 Us = gu.reshape(-1, b, b)
-            prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                              preferred_element_type=Ls.dtype)
-            pr = to_planes(prod) if cplx else prod.reshape(-1, bb)
+                prod = jnp.einsum("cij,cjk->cik", Ls, Us,
+                                  preferred_element_type=Ls.dtype)
+                pr = prod.reshape(-1, bb)
             summed = jax.ops.segment_sum(pr, x["pair_seg"],
                                          num_segments=TL + 1,
                                          indices_are_sorted=True)
@@ -669,11 +711,9 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                     return newv, ldd, mpd, npd
 
                 def do_lpan(vals):
-                    Dv = to_c(blocks[x["dinv"]])
-                    Lh = jnp.einsum("cij,cjk->cik", to_c(vals), Dv,
-                                    preferred_element_type=Dv.dtype)
+                    Dv = blocks[x["dinv"]]
                     z = jnp.zeros((), ld.dtype)
-                    return (to_planes(Lh), z,
+                    return (_cmul_planes(vals, Dv, b), z,
                             jnp.asarray(jnp.inf, mp.dtype),
                             jnp.zeros((), jnp.int32))
             else:
@@ -796,17 +836,14 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
             out = []
             for v, bl, rhs_rows, cplx in zip(vs, blks, rhs_list, cplxs):
                 if cplx:
-                    S = blk_c(bl, x["src"])
-                    vj = vec_c(v[x["col"]])
-                    prod = jnp.einsum("cij,cj->ci", S, vj)
+                    pr = _cmatvec_planes(bl[x["src"]], v[x["col"]], b)
                     summed = jax.ops.segment_sum(
-                        vec_planes(prod), x["seg"],
+                        pr, x["seg"],
                         num_segments=Ucap + 1, indices_are_sorted=True)
                     rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
                     if apply_dinv:
-                        Dv = blk_c(bl, diag_g[x["tgt_g"]])
-                        rr = vec_planes(jnp.einsum("cij,cj->ci", Dv,
-                                                   vec_c(rr)))
+                        rr = _cmatvec_planes(bl[diag_g[x["tgt_g"]]], rr,
+                                             b)
                 else:
                     S = bl[x["src"]].reshape(-1, b, b)
                     vj = v[x["col"]]
