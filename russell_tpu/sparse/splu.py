@@ -338,7 +338,9 @@ def _build_packed_left(nb, nblk, nlev, buckets, bsz, store, diag_idx,
     Row types: 0 = diagonal range, 1 = L range, 2 = U range."""
     bb = bsz * bsz
     TL = max(64, min(1024, 4_000_000 // bb))       # target slots per row
-    Ccap = max(256, 16_000_000 // bb)              # pairs per row
+    # pairs per row: every row pays the FULL padded gather (~Ccap * bb
+    # floats x3), so a tight cap beats fewer-but-padded rows
+    Ccap = max(256, 2_097_152 // bb)
 
     # enumerate ALL contribution pairs, grouped per SOURCE column m
     l_parts, u_parts, t_parts = [], [], []
