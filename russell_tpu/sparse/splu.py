@@ -655,17 +655,6 @@ def splu_factorize_multi(plan: SpluPlan, datas):
           ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
            "dinv")}
 
-    def to_c(v):
-        cdt = (jnp.complex64 if v.dtype == jnp.float32
-               else jnp.complex128)
-        v = v.reshape(-1, 2, b, b)
-        return v[:, 0].astype(cdt) + 1j * v[:, 1].astype(cdt)
-
-    def to_planes(m):
-        return jnp.concatenate(
-            [jnp.real(m).reshape(-1, 1, bb), jnp.imag(m).reshape(-1, 1, bb)],
-            axis=1).reshape(m.shape[0], 2 * bb)
-
     def row_step(sts, x):
         lane = jnp.arange(TL, dtype=jnp.int32)
         live = lane < x["len"]
@@ -810,23 +799,6 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
             bp = jnp.zeros(nb * b, dtype=bl.dtype).at[perm].set(
                 bvec.astype(bl.dtype)).reshape(nb, b)
         bps.append(bp)
-
-    def blk_c(bl, idx):
-        cdt = (jnp.complex64 if bl.dtype == jnp.float32
-               else jnp.complex128)
-        v = bl[idx].reshape(-1, 2, b, b)
-        return v[:, 0].astype(cdt) + 1j * v[:, 1].astype(cdt)
-
-    def vec_c(v2):
-        cdt = (jnp.complex64 if v2.dtype == jnp.float32
-               else jnp.complex128)
-        v2 = v2.reshape(-1, 2, b)
-        return v2[:, 0].astype(cdt) + 1j * v2[:, 1].astype(cdt)
-
-    def vec_planes(vc):
-        return jnp.concatenate(
-            [jnp.real(vc).reshape(-1, 1, b), jnp.imag(vc).reshape(-1, 1, b)],
-            axis=1).reshape(vc.shape[0], 2 * b)
 
     def run(direction, rhs_list, apply_dinv):
         pk = plan.packed[direction]
