@@ -398,27 +398,46 @@ def _build_packed_left(nb, nblk, nlev, buckets, bsz, store, diag_idx,
                 pos += ln
 
     nrows = max(len(rows), 1)
+    CP = Ccap + TL          # + one dummy per lane (kernel initialization)
     r_type = np.zeros(nrows, dtype=np.int32)
     r_t0 = np.zeros(nrows, dtype=np.int32)
     r_len = np.zeros(nrows, dtype=np.int32)
-    pair_l = np.zeros((nrows, Ccap), dtype=np.int32)
-    pair_u = np.zeros((nrows, Ccap), dtype=np.int32)
-    pair_seg = np.full((nrows, Ccap), TL, dtype=np.int32)
+    pair_l = np.zeros((nrows, CP), dtype=np.int32)
+    pair_u = np.zeros((nrows, CP), dtype=np.int32)
+    pair_seg = np.full((nrows, CP), TL, dtype=np.int32)
+    pair_first = np.zeros((nrows, CP), dtype=np.int32)
     dinv_a = np.zeros((nrows, TL), dtype=np.int32)
+    lane_ar = np.arange(TL, dtype=np.int64)
     for rr, (sec, t0, ln, p0, p1) in enumerate(rows):
         r_type[rr] = sec
         r_t0[rr] = t0
         r_len[rr] = ln
-        npair = p1 - p0
-        pair_l[rr, :npair] = l_glob[p0:p1]
-        pair_u[rr, :npair] = u_glob[p0:p1]
-        pair_seg[rr, :npair] = t_glob[p0:p1] - t0
+        seg_real = t_glob[p0:p1] - t0
+        # one zero dummy pair per lane, FIRST within its lane run — the
+        # Pallas kernel uses it to initialize the output block
+        seg_all = np.concatenate([lane_ar, seg_real])
+        l_all2 = np.concatenate([np.zeros(TL, dtype=np.int64),
+                                 l_glob[p0:p1]])
+        u_all2 = np.concatenate([np.zeros(TL, dtype=np.int64),
+                                 u_glob[p0:p1]])
+        is_dummy = np.concatenate([np.ones(TL, dtype=np.int32),
+                                   np.zeros(p1 - p0, dtype=np.int32)])
+        o = np.argsort(seg_all, kind="stable")
+        npair = len(o)
+        pair_l[rr, :npair] = l_all2[o]
+        pair_u[rr, :npair] = u_all2[o]
+        pair_seg[rr, :npair] = seg_all[o]
+        pair_first[rr, :npair] = is_dummy[o]
         if sec == 1:
             dinv_a[rr, :ln] = dinv_of_storage[t0:t0 + ln]
+    # pad slots (beyond each row's npair) keep seg=TL (dropped by the
+    # XLA path) but must NOT write in the Pallas kernel: they alias the
+    # LAST lane's output block and must accumulate zero (l=u=0).
     return {
         "r_type": r_type, "t0": r_t0, "len": r_len,
         "pair_l": pair_l, "pair_u": pair_u, "pair_seg": pair_seg,
-        "dinv": dinv_a, "TL": TL, "Ccap": Ccap,
+        "pair_first": pair_first,
+        "dinv": dinv_a, "TL": TL, "Ccap": CP,
     }
 
 
@@ -562,6 +581,70 @@ def splu_factorize(plan: SpluPlan, data):
     return splu_factorize_multi(plan, (data,))[0]
 
 
+def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, b, cplx,
+                  interpret):
+    """Segment-summed block pair products via a Pallas TPU kernel.
+
+    One grid step per pair: the pair's two storage rows stream in via
+    scalar-prefetch-indexed DMA, the (b x b) product(s) run on the MXU,
+    and the result accumulates into the output block selected by the
+    pair's segment (revisited consecutively — segments are sorted). A
+    per-lane dummy pair (first=1, l=u=0 -> scratch zeros) initializes
+    each output block. XLA's gather/scatter row ops cost ~300 ns each on
+    this TPU; this kernel streams at DMA rate instead."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    width = blocks.shape[1]
+    n_pairs = pl_idx.shape[0]
+
+    def kernel(pl_ref, pu_ref, seg_ref, first_ref, bl_ref, bu_ref,
+               out_ref):
+        i = pl.program_id(0)
+
+        @pl.when(first_ref[i] == 1)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        if cplx:
+            a2 = bl_ref[0].reshape(2, b, b)
+            c2 = bu_ref[0].reshape(2, b, b)
+            pr = (jnp.dot(a2[0], c2[0],
+                          preferred_element_type=out_ref.dtype)
+                  - jnp.dot(a2[1], c2[1],
+                            preferred_element_type=out_ref.dtype))
+            pi = (jnp.dot(a2[0], c2[1],
+                          preferred_element_type=out_ref.dtype)
+                  + jnp.dot(a2[1], c2[0],
+                            preferred_element_type=out_ref.dtype))
+            out_ref[0] += jnp.concatenate(
+                [pr.reshape(-1), pi.reshape(-1)])
+        else:
+            a = bl_ref[0].reshape(b, b)
+            c = bu_ref[0].reshape(b, b)
+            out_ref[0] += jnp.dot(
+                a, c, preferred_element_type=out_ref.dtype).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_pairs,),
+        in_specs=[
+            pl.BlockSpec((1, width),
+                         lambda i, pl_, pu_, sg_, fr_: (pl_[i], 0)),
+            pl.BlockSpec((1, width),
+                         lambda i, pl_, pu_, sg_, fr_: (pu_[i], 0)),
+        ],
+        out_specs=pl.BlockSpec((1, width),
+                               lambda i, pl_, pu_, sg_, fr_: (sg_[i], 0)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((TL, width), blocks.dtype),
+        interpret=interpret,
+    )(pl_idx, pu_idx, seg, first, blocks, blocks)
+
+
 def _cmul_planes(a, c, b):
     """(C, 2*b*b) planes x (C, 2*b*b) planes -> (C, 2*b*b) planes complex
     block product via four real einsums."""
@@ -653,7 +736,14 @@ def splu_factorize_multi(plan: SpluPlan, datas):
 
     xs = {k: jnp.asarray(pk[k]) for k in
           ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
-           "dinv")}
+           "pair_first", "dinv")}
+
+    import os as _os
+    use_pallas = _os.environ.get("RUSSELL_TPU_SPLU_PALLAS", "auto")
+    if use_pallas == "auto":
+        pallas_on = jax.default_backend() == "tpu"
+    else:
+        pallas_on = use_pallas not in ("0", "off", "false")
 
     def row_step(sts, x):
         lane = jnp.arange(TL, dtype=jnp.int32)
@@ -665,22 +755,28 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                                                         cplxs):
             width = blocks.shape[1]
             cur = lax.dynamic_slice(blocks, (t0, z0), (TL, width))
-            gl = blocks[x["pair_l"]]
-            gu = blocks[x["pair_u"]]
-            if cplx:
-                # complex product via 4 REAL einsums (complex einsum is
-                # also pathologically slow on this backend)
-                pr = _cmul_planes(gl, gu, b)
+            if pallas_on:
+                acc = _pairs_pallas(blocks, x["pair_l"], x["pair_u"],
+                                    x["pair_seg"], x["pair_first"],
+                                    TL, b, cplx, interpret=False)
+                vals = cur - acc
             else:
-                Ls = gl.reshape(-1, b, b)
-                Us = gu.reshape(-1, b, b)
-                prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                                  preferred_element_type=Ls.dtype)
-                pr = prod.reshape(-1, bb)
-            summed = jax.ops.segment_sum(pr, x["pair_seg"],
-                                         num_segments=TL + 1,
-                                         indices_are_sorted=True)
-            vals = cur - summed[:TL]
+                gl = blocks[x["pair_l"]]
+                gu = blocks[x["pair_u"]]
+                if cplx:
+                    # complex product via 4 REAL einsums (complex einsum
+                    # is also pathologically slow on this backend)
+                    pr = _cmul_planes(gl, gu, b)
+                else:
+                    Ls = gl.reshape(-1, b, b)
+                    Us = gu.reshape(-1, b, b)
+                    prod = jnp.einsum("cij,cjk->cik", Ls, Us,
+                                      preferred_element_type=Ls.dtype)
+                    pr = prod.reshape(-1, bb)
+                summed = jax.ops.segment_sum(pr, x["pair_seg"],
+                                             num_segments=TL + 1,
+                                             indices_are_sorted=True)
+                vals = cur - summed[:TL]
 
             if cplx:
                 def do_diag(vals):
