@@ -585,17 +585,23 @@ def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, b, cplx,
                   interpret):
     """Segment-summed block pair products via a Pallas TPU kernel.
 
-    One grid step per pair: the pair's two storage rows stream in via
+    One grid step per pair: the pair's two storage blocks stream in via
     scalar-prefetch-indexed DMA, the (b x b) product(s) run on the MXU,
     and the result accumulates into the output block selected by the
     pair's segment (revisited consecutively — segments are sorted). A
     per-lane dummy pair (first=1, l=u=0 -> scratch zeros) initializes
     each output block. XLA's gather/scatter row ops cost ~300 ns each on
-    this TPU; this kernel streams at DMA rate instead."""
+    this TPU; this kernel streams at DMA rate instead.
+
+    Blocks are viewed as (N, R, b) with R = b (real) or 2b (complex
+    planes) so the trailing dims satisfy the TPU (8, 128)-divisible-or-
+    equal block rule."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    width = blocks.shape[1]
+    R = 2 * b if cplx else b
+    N = blocks.shape[0]
+    b3 = blocks.reshape(N, R, b)
     n_pairs = pl_idx.shape[0]
 
     def kernel(pl_ref, pu_ref, seg_ref, first_ref, bl_ref, bu_ref,
@@ -607,42 +613,42 @@ def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, b, cplx,
             out_ref[:] = jnp.zeros_like(out_ref)
 
         if cplx:
-            a2 = bl_ref[0].reshape(2, b, b)
-            c2 = bu_ref[0].reshape(2, b, b)
-            pr = (jnp.dot(a2[0], c2[0],
-                          preferred_element_type=out_ref.dtype)
-                  - jnp.dot(a2[1], c2[1],
+            ar = bl_ref[0][:b, :]
+            ai = bl_ref[0][b:, :]
+            cr = bu_ref[0][:b, :]
+            ci_ = bu_ref[0][b:, :]
+            pr = (jnp.dot(ar, cr, preferred_element_type=out_ref.dtype)
+                  - jnp.dot(ai, ci_,
                             preferred_element_type=out_ref.dtype))
-            pi = (jnp.dot(a2[0], c2[1],
+            pi = (jnp.dot(ar, ci_,
                           preferred_element_type=out_ref.dtype)
-                  + jnp.dot(a2[1], c2[0],
+                  + jnp.dot(ai, cr,
                             preferred_element_type=out_ref.dtype))
-            out_ref[0] += jnp.concatenate(
-                [pr.reshape(-1), pi.reshape(-1)])
+            out_ref[0] += jnp.concatenate([pr, pi], axis=0)
         else:
-            a = bl_ref[0].reshape(b, b)
-            c = bu_ref[0].reshape(b, b)
-            out_ref[0] += jnp.dot(
-                a, c, preferred_element_type=out_ref.dtype).reshape(-1)
+            out_ref[0] += jnp.dot(bl_ref[0], bu_ref[0],
+                                  preferred_element_type=out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_pairs,),
         in_specs=[
-            pl.BlockSpec((1, width),
-                         lambda i, pl_, pu_, sg_, fr_: (pl_[i], 0)),
-            pl.BlockSpec((1, width),
-                         lambda i, pl_, pu_, sg_, fr_: (pu_[i], 0)),
+            pl.BlockSpec((1, R, b),
+                         lambda i, pl_, pu_, sg_, fr_: (pl_[i], 0, 0)),
+            pl.BlockSpec((1, R, b),
+                         lambda i, pl_, pu_, sg_, fr_: (pu_[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, width),
-                               lambda i, pl_, pu_, sg_, fr_: (sg_[i], 0)),
+        out_specs=pl.BlockSpec((1, R, b),
+                               lambda i, pl_, pu_, sg_, fr_:
+                               (sg_[i], 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((TL, width), blocks.dtype),
+        out_shape=jax.ShapeDtypeStruct((TL, R, b), blocks.dtype),
         interpret=interpret,
-    )(pl_idx, pu_idx, seg, first, blocks, blocks)
+    )(pl_idx, pu_idx, seg, first, b3, b3)
+    return out.reshape(TL, R * b)
 
 
 def _cmul_planes(a, c, b):
