@@ -96,6 +96,11 @@ def main(argv=None) -> int:
     ap.add_argument("--ordering", default="auto")
     ap.add_argument("--scaling", default="auto")
     ap.add_argument("--determinant", action="store_true")
+    ap.add_argument("--error-analysis", action="store_true",
+                    help="backward/forward error estimates "
+                         "(MUMPS ICNTL(11) analog)")
+    ap.add_argument("--condition-numbers", action="store_true",
+                    help="cond1/cond2 estimates via power iteration")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--x64", action="store_true", default=True)
     args = ap.parse_args(argv)
@@ -122,6 +127,8 @@ def main(argv=None) -> int:
     params = LinSolParams(ordering=Ordering(args.ordering),
                           scaling=Scaling(args.scaling),
                           compute_determinant=args.determinant,
+                          compute_error_estimates=args.error_analysis,
+                          compute_condition_numbers=args.condition_numbers,
                           verbose=args.verbose)
     solver = LinSolver(Genie.from_name(args.genie))
     solver.factorize(coo, params)

@@ -1,136 +1,89 @@
-"""Distributed sparse LU: the level-batched SPLU numeric phase spread
-over a device mesh.
+"""Distributed sparse LU: the packed left-looking SPLU numeric phase
+spread over a device mesh.
 
 The reference's MUMPS backend is pinned to sequential mode (MPI disabled,
 interface_mumps.c:153); real multifrontal codes parallelize over the
-elimination tree. TPU-native version: every level chunk's independent
-block columns are SPLIT across the mesh axis — each device eliminates its
-share (diagonal LU + panel TRSMs on its columns) and contributes its
-Schur updates; a ``psum`` over the additive update array combines them
-(disjoint writes, so the sum is exact). ICI carries only the update
-traffic; the elimination-tree structure is identical to the single-chip
-path, so results match splu_factorize exactly (up to float summation
-order of disjoint adds, which do not overlap -> bit-equal).
+elimination tree. TPU-native version: every packed scan row's Schur
+CONTRIBUTION PAIRS (Lhat_im @ A_mj products feeding one contiguous
+storage range) are SPLIT across the mesh axis — each device computes the
+segment sum of its pair slice and a ``psum`` combines them. That is a
+TRUE sum (the single-chip sum up to float reassociation), so it is safe
+in f32; the round-1 design combined per-device results with delta-adds
+(new - old), which cancel catastrophically in f32 and poisoned the
+factors. The post-processing (diagonal inversion / L-panel Dinv
+multiply) runs replicated — identical on every device — so the returned
+factorization matches ``splu_factorize`` and feeds straight into
+``splu_solve``.
 
 Scale-up note: for pod-scale problems the natural refinement is subtree
 OWNERSHIP (each device holds the blocks of one elimination subtree and
 only separator panels ride the interconnect, "How to Scale Your Model"
-recipe); this module implements the level-sharded variant that XLA GSPMD
-handles well at single-host scale.
+recipe); this module implements the pair-sharded variant whose collective
+traffic is one (TL+1, b*b) psum per scan row.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from russell_tpu.sparse.splu import SpluPlan
+from russell_tpu.sparse.splu import SpluPlan, _init_states, _scan_packed
 
 __all__ = ["dist_splu_factorize"]
 
 
 def dist_splu_factorize(mesh: Mesh, plan: SpluPlan, data, axis: str = "rows"):
-    """Numeric SPLU with each level chunk's columns sharded over ``mesh``.
-
-    Returns the same factorization dict as ``splu_factorize`` (usable with
-    ``splu_solve``). Requires a level schedule (``plan.lvl_cols``)."""
-    if plan.lvl_cols is None:
-        raise ValueError("dist_splu_factorize requires a level schedule "
-                         "(splu_analyze with the default settings)")
+    """Numeric SPLU with each scan row's contribution pairs sharded over
+    ``mesh``. Returns the same factorization dict as ``splu_factorize``
+    (usable with ``splu_solve``); works on any plan (packed schedules are
+    always built, at every scale)."""
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-    b, nb, nblk = plan.b, plan.nb, plan.nblk
-    data = jnp.asarray(data)
-    dtype = data.dtype
+    pk = plan.packed
+    TL = pk["TL"]
+    CP = pk["pair_l"].shape[1]
+    CPp = -(-CP // ndev) * ndev
 
-    # pad chunk width to a multiple of the mesh size
-    lvl = plan.lvl_cols
-    w = lvl.shape[1]
-    w_pad = -(-w // ndev) * ndev
-    lvl = np.concatenate(
-        [lvl, np.full((lvl.shape[0], w_pad - w), nb, dtype=lvl.dtype)],
-        axis=1)
+    def pad_pairs(a, fill):
+        if CPp == CP:
+            return np.asarray(a)
+        return np.concatenate(
+            [a, np.full((a.shape[0], CPp - CP), fill, dtype=a.dtype)],
+            axis=1)
 
-    flat = jnp.zeros(nblk * b * b, dtype=dtype)
-    if len(plan.pad_idx):
-        flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
-    flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
-    blocks0 = flat.reshape(nblk, b, b)
+    # pad slots: l = u = 0 -> scratch zero block, zero product; seg = TL
+    # -> dropped by the segment sum
+    pair_l = pad_pairs(pk["pair_l"], 0)
+    pair_u = pad_pairs(pk["pair_u"], 0)
+    pair_seg = pad_pairs(pk["pair_seg"], TL)
+    pair_first = pad_pairs(pk["pair_first"], 0)
 
-    delta = plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))
-    eye = jnp.eye(b, dtype=dtype)
+    states, deltas, cplxs = _init_states(plan, (data,))
+    blocks0, ld0, mp0, np0, ph0 = states[0]
+    fixed = {k: np.asarray(pk[k]) for k in ("r_type", "t0", "len", "dinv")}
 
-    def ext(a):
-        return jnp.asarray(
-            np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)]))
+    def run(blocks, delta, pl_j, pu_j, ps_j, pf_j):
+        xs = {k: jnp.asarray(v) for k, v in fixed.items()}
+        xs.update(pair_l=pl_j, pair_u=pu_j, pair_seg=ps_j,
+                  pair_first=pf_j)
+        st = ((blocks, ld0, mp0, np0, ph0),)
+        (out,) = _scan_packed(plan, st, (delta,), cplxs, xs,
+                              psum_axis=axis)
+        return out
 
-    diag_e = jnp.asarray(np.append(plan.diag_idx, 0))
-    l_e = ext(plan.l_idx)
-    u_e = ext(plan.u_idx)
-    upd_e = ext(plan.upd_idx)
-    lrow_e = ext(plan.lrow_idx)
-    lvl_j = jnp.asarray(lvl)
-
-    def inv_pert(D):
-        lu, piv = jax.scipy.linalg.lu_factor(D)
-        dmin = jnp.min(jnp.abs(jnp.diagonal(lu)))
-        lu2, piv2 = jax.scipy.linalg.lu_factor(D + delta.astype(dtype) * eye)
-        bad = dmin <= delta
-        lu = jnp.where(bad, lu2, lu)
-        piv = jnp.where(bad, piv2, piv)
-        Dinv = jax.scipy.linalg.lu_solve((lu, piv), eye)
-        dg = jnp.abs(jnp.diagonal(lu))
-        return Dinv, jnp.sum(jnp.log(jnp.maximum(dg, 1e-300))), jnp.min(dg)
-
-    def shard_level(blocks, cols):
-        """Per-device slice of one level chunk; returns the additive update
-        to ``blocks`` (disjoint across devices, summed with psum). Runs
-        under shard_map: cols is the local (w_pad/ndev,) slice."""
-        live = cols < nb
-        dk = diag_e[cols]
-        Dinv, ldw, mpw = jax.vmap(inv_pert)(blocks[dk])
-
-        zero_blk = jnp.zeros((b, b), dtype=dtype)
-        upd = jnp.zeros_like(blocks)
-        upd = upd.at[dk].add(Dinv - blocks[dk]).at[0].set(zero_blk)
-
-        li = l_e[cols]
-        Ablk = blocks[li]
-        Lhat = jnp.einsum("waij,wjk->waik", Ablk, Dinv,
-                          preferred_element_type=dtype)
-        upd = upd.at[li].add(Lhat - Ablk).at[0].set(zero_blk)
-
-        Ublk = blocks[u_e[cols]]
-        prod = jnp.einsum("waij,wbjk->wabik", Lhat, Ublk,
-                          preferred_element_type=dtype)
-        upd = upd.at[upd_e[cols]].add(-prod).at[0].set(zero_blk)
-
-        upd = lax.psum(upd, axis)
-        ld = lax.psum(jnp.sum(jnp.where(live, ldw, 0.0)), axis)
-        mp = lax.pmin(jnp.min(jnp.where(live, mpw, jnp.inf)), axis)
-        return upd, ld, mp
-
-    sharded = shard_map(
-        shard_level, mesh=mesh,
-        in_specs=(P(), P(axis)), out_specs=(P(), P(), P()))
-
-    rdtype = jnp.zeros((), dtype=dtype).real.dtype
-
-    def level_step(carry, cols):
-        blocks, ld, mp = carry
-        upd, ldw, mpw = sharded(blocks, cols)
-        return (blocks + upd, ld + ldw, jnp.minimum(mp, mpw)), None
-
-    carry0 = (blocks0, jnp.zeros((), rdtype),
-              jnp.asarray(jnp.inf, dtype=rdtype))
-    (blocks, ld, mp), _ = lax.scan(level_step, carry0, lvl_j)
+    fn = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
+                  P(None, axis)),
+        out_specs=(P(), P(), P(), P(), P()))
+    blocks, ld, mp, npert, ph = fn(
+        blocks0, deltas[0], jnp.asarray(pair_l), jnp.asarray(pair_u),
+        jnp.asarray(pair_seg), jnp.asarray(pair_first))
     return {
         "blocks": blocks,
         "logdet": ld,
-        "phase": jnp.ones((), dtype=dtype),
+        "phase": ph,
         "min_pivot": mp,
-        "n_perturbed": jnp.zeros((), dtype=jnp.int32),
+        "n_perturbed": npert,
     }

@@ -75,7 +75,7 @@ class Ordering(enum.Enum):
     NATURAL = "natural"
     RCM = "rcm"
     AMD = "amd"
-    METIS = "metis"  # accepted and mapped to AMD until a native nested dissection lands
+    METIS = "metis"  # mapped to the native nested dissection ("nd")
 
 
 class Scaling(enum.Enum):

@@ -143,16 +143,36 @@ def _bsr_matvec_pallas(bsr: BsrMatrix, xp, interpret: bool):
     return out
 
 
+_pallas_fallback_logged = False
+
+
 def bsr_matvec(bsr: BsrMatrix, x, use_pallas: bool = True):
-    """y = A x through the BSR blocks. Jittable."""
+    """y = A x through the BSR blocks. Jittable.
+
+    A Pallas kernel failure falls back to the einsum path, but LOUDLY:
+    it is logged once, and ``RUSSELL_TPU_STRICT_PALLAS=1`` re-raises
+    instead (so a kernel regression on TPU cannot hide behind the
+    fallback)."""
     xp = _pad_x(bsr, x)
     on_tpu = jax.devices()[0].platform == "tpu"
     if use_pallas:
         try:
             y = _bsr_matvec_pallas(bsr, xp, interpret=not on_tpu)
             return y[: bsr.n_rows]
-        except Exception:
-            pass  # fall back to the einsum path below
+        except Exception as e:
+            import os
+            if os.environ.get("RUSSELL_TPU_STRICT_PALLAS", "0") not in (
+                    "0", "", "off", "false"):
+                raise
+            global _pallas_fallback_logged
+            if not _pallas_fallback_logged:
+                _pallas_fallback_logged = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "bsr_matvec Pallas kernel failed (%s: %s); falling "
+                    "back to the XLA einsum path. Set "
+                    "RUSSELL_TPU_STRICT_PALLAS=1 to raise instead.",
+                    type(e).__name__, e)
     x2 = xp.reshape(-1, bsr.bn)
     gathered = x2[bsr.col_ids.reshape(-1)]              # (nbr*bpr, bn)
     prods = jnp.einsum("kij,kj->ki", bsr.blocks

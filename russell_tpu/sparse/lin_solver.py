@@ -47,7 +47,13 @@ class LinSolParams:
     refinement_nstep: int = 2
     positive_definite: bool = False
     compute_determinant: bool = False
+    # error analysis at solve time (MUMPS ICNTL(11) analog): backward
+    # errors omega1/omega2 (Arioli-Demmel-Duff), scaled residual, and
+    # the normalized forward-error estimate |dx|/|x|
     compute_error_estimates: bool = False
+    # condition-number estimates cond1/cond2 via power iteration on
+    # A^{-1} through the existing solve kernel (estimates from below)
+    compute_condition_numbers: bool = False
     verbose: bool = False
     # native-path tuning
     dense_threshold: int = 1200
@@ -67,11 +73,19 @@ class StatsLinSol:
         "ordering": "Auto", "scaling": "Auto"})
     output: dict = field(default_factory=lambda: {
         "effective_ordering": "", "effective_scaling": "",
-        "min_pivot": 0.0, "n_perturbed_pivots": 0})
+        "min_pivot": 0.0, "n_perturbed_pivots": 0,
+        "umfpack_rcond_estimate": 0.0})
     determinant: dict = field(default_factory=lambda: {
         "mantissa_real": 0.0, "mantissa_imag": 0.0, "base": 10.0,
         "exponent": 0.0})
     verify: dict = field(default_factory=dict)
+    # error-analysis record; field names mirror the reference's
+    # StatsLinSolMUMPS (stats_lin_sol.rs:198-205, MUMPS RINFOG analogs)
+    mumps_stats: dict = field(default_factory=lambda: {
+        "inf_norm_a": 0.0, "inf_norm_x": 0.0, "scaled_residual": 0.0,
+        "backward_error_omega1": 0.0, "backward_error_omega2": 0.0,
+        "normalized_delta_x": 0.0, "condition_number1": 0.0,
+        "condition_number2": 0.0})
     time_nanoseconds: dict = field(default_factory=lambda: {
         "initialize": 0, "factorize": 0, "solve": 0})
 
@@ -172,6 +186,8 @@ class LinSolver:
         vals = jnp.asarray(vv)
         if self._mirror is not None:
             vals = jnp.concatenate([vals, vals[jnp.asarray(self._mirror)]])
+        self._params = params
+        self._vals_full = vals      # unscaled full-pattern values
         self.fac = self._fact_fn(vals)
         self.fac["logdet"].block_until_ready()
         self._factorized = True
@@ -222,7 +238,83 @@ class LinSolver:
         x = self._solve_fn(self.fac, jnp.asarray(rhs))
         x.block_until_ready()
         self.stats.time_nanoseconds["solve"] = time.perf_counter_ns() - t0
+        p = getattr(self, "_params", None)
+        if p is not None and (p.compute_error_estimates
+                              or p.compute_condition_numbers):
+            self._error_analysis(x, jnp.asarray(rhs),
+                                 p.compute_condition_numbers)
         return x
+
+    def _error_analysis(self, x, b, with_cond: bool):
+        """MUMPS ICNTL(11)-style error analysis (RINFOG(4..11) analogs;
+        interface_mumps.c error-analysis role, Arioli-Demmel-Duff
+        backward errors). Condition numbers are power-iteration
+        estimates of ||A^{-1}|| through the existing solve kernel —
+        estimates from below, like all norm estimators."""
+        plan = self.plan
+        n = plan.n
+        rows = jnp.asarray(plan.rows)
+        cols = jnp.asarray(plan.cols)
+        vals = self._vals_full
+        xj = jnp.asarray(x)
+        bj = b.astype(xj.dtype)
+        absv = jnp.abs(vals)
+        rdt = absv.dtype
+        eps = float(jnp.finfo(rdt).eps)
+
+        ax = jax.ops.segment_sum(vals.astype(xj.dtype) * xj[cols], rows,
+                                 num_segments=n)
+        r = bj - ax
+        absr = jnp.abs(r)
+        abs_ax = jax.ops.segment_sum(absv * jnp.abs(xj)[cols], rows,
+                                     num_segments=n)
+        row_norm = jax.ops.segment_sum(absv, rows, num_segments=n)
+        inf_a = float(jnp.max(row_norm))
+        inf_x = float(jnp.max(jnp.abs(xj)))
+        inf_b = float(jnp.max(jnp.abs(bj)))
+
+        # Arioli-Demmel-Duff split: rows whose componentwise denominator
+        # (|A||x| + |b|)_i is non-negligible feed omega1; degenerate rows
+        # feed omega2 with the (|A||x|)_i + ||A_i||_inf ||x||_inf bound
+        den1 = abs_ax + jnp.abs(bj)
+        den2 = abs_ax + row_norm * inf_x
+        small = den1 <= (n * eps) * den2
+        w1 = jnp.where(small | (den1 == 0), 0.0, absr / jnp.maximum(den1,
+                                                                    eps))
+        w2 = jnp.where(small & (den2 > 0), absr / jnp.maximum(den2, eps),
+                       0.0)
+        ms = self.stats.mumps_stats
+        ms["inf_norm_a"] = inf_a
+        ms["inf_norm_x"] = inf_x
+        ms["scaled_residual"] = (float(jnp.max(absr))
+                                 / max(inf_a * inf_x, eps))
+        ms["backward_error_omega1"] = float(jnp.max(w1))
+        ms["backward_error_omega2"] = float(jnp.max(w2))
+        # forward-error estimate |dx|/|x| from one refinement correction
+        dx = self._solve_fn(self.fac, r)
+        ms["normalized_delta_x"] = (float(jnp.max(jnp.abs(dx)))
+                                    / max(inf_x, eps))
+        if with_cond:
+            col_norm = jax.ops.segment_sum(absv, cols, num_segments=n)
+            one_a = float(jnp.max(col_norm))
+            # ||A^{-1}|| from below: power iteration through the solve
+            rng = np.random.default_rng(12345)
+            v = jnp.asarray(rng.choice([-1.0, 1.0], size=n),
+                            dtype=rdt).astype(xj.dtype)
+            est_inf = est_one = 0.0
+            for _ in range(4):
+                w = self._solve_fn(self.fac, v)
+                nw_inf = float(jnp.max(jnp.abs(w)))
+                nw_one = float(jnp.sum(jnp.abs(w)))
+                nv_inf = float(jnp.max(jnp.abs(v)))
+                nv_one = float(jnp.sum(jnp.abs(v)))
+                est_inf = max(est_inf, nw_inf / max(nv_inf, eps))
+                est_one = max(est_one, nw_one / max(nv_one, eps))
+                v = w / max(nw_inf, eps)
+            ms["condition_number1"] = inf_a * est_inf
+            ms["condition_number2"] = one_a * est_one
+            self.stats.output["umfpack_rcond_estimate"] = (
+                1.0 / max(inf_a * est_inf, eps))
 
     # functional access for jit composition (e.g. inside ODE steppers)
     def kernel_fns(self):

@@ -56,22 +56,11 @@ class SpluPlan:
     scatter_idx: np.ndarray     # flat position per matrix entry
     pad_idx: np.ndarray         # unit-diagonal positions for padding rows
     diag_idx: np.ndarray        # (nb,) storage index of diagonal blocks
-    # factorization schedule (padded; 0 = scratch block)
-    l_idx: np.ndarray           # (nb, max_l) L-panel storage indices
-    u_idx: np.ndarray           # (nb, max_u) U-panel storage indices
-    upd_idx: np.ndarray         # (nb, max_l, max_u) Schur targets
-    lrow_idx: np.ndarray        # (nb, max_lrow) L blocks left of diagonal
-    # solve schedule
-    fwd_idx: np.ndarray         # (nb, max_lrow) L_kj storage index (j < k)
-    fwd_col: np.ndarray         # (nb, max_lrow) source block column j
-    bwd_idx: np.ndarray         # (nb, max_urow) U_kj storage index (j > k)
-    bwd_col: np.ndarray         # (nb, max_urow)
     pivot_epsilon: float = 1e-14
     fill_blocks: int = 0
-    # level schedule: independent block columns eliminated concurrently
-    # (elimination-tree level sets; the supernodal-parallelism analog of
-    # MUMPS' multifrontal tree parallelism, here batched onto the MXU).
-    # lvl_cols[t] lists the columns of level t, padded with nb (dummy).
+    # elimination-tree level sets (diagnostics: tree depth/width; the
+    # numeric schedule below is built from them). lvl_cols[t] lists the
+    # block columns of level t, padded with nb (dummy).
     lvl_cols: Optional[np.ndarray] = None   # (nlev, max_w)
     # packed numeric schedule: COMPACT per-row work lists (no per-column
     # padding) — three row types executed by one lax.switch inside one
@@ -257,51 +246,11 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
         pad_idx = np.zeros(0, dtype=np.int64)
     diag_idx = store(ar, ar)
 
-    # legacy padded schedules (used by parallel.dist_splu) — only built
-    # at demo scale; the packed schedule below is the real numeric path
-    small = nb <= 4096 and nb * max_l * max_u <= 50_000_000
-    if small:
-        l_idx = np.zeros((nb, max_l), dtype=np.int64)
-        u_idx = np.zeros((nb, max_u), dtype=np.int64)
-        upd_idx = np.zeros((nb, max_l, max_u), dtype=np.int64)
-        lrow_idx = np.zeros(
-            (nb, max(int((dpos - rowptr[:-1]).max()) if nb else 1, 1)),
-            dtype=np.int64)
-        for k in range(nb):
-            lk = st_c[ls_[k]:colptr[k + 1]]
-            uk = st_perm[np.arange(upos[k], rowptr[k + 1])]
-            l_idx[k, :nl[k]] = lk
-            u_idx[k, :nu[k]] = uk
-            if nl[k] and nu[k]:
-                ii_ = np.repeat(ci_c[ls_[k]:colptr[k + 1]], nu[k])
-                jj_ = np.tile(cj[upos[k]:rowptr[k + 1]], nl[k])
-                upd_idx[k, :nl[k], :nu[k]] = store(ii_, jj_).reshape(
-                    nl[k], nu[k])
-            nlr = dpos[k] - rowptr[k]
-            lrow_idx[k, :nlr] = st_perm[np.arange(rowptr[k], dpos[k])]
-    else:
-        l_idx = np.zeros((1, 1), dtype=np.int64)
-        u_idx = np.zeros((1, 1), dtype=np.int64)
-        upd_idx = np.zeros((1, 1, 1), dtype=np.int64)
-        lrow_idx = np.zeros((1, 1), dtype=np.int64)
-    fwd_idx = np.zeros((1, 1), dtype=np.int64)   # superseded by packed
-    fwd_col = np.zeros((1, 1), dtype=np.int64)
-    bwd_idx = np.zeros((1, 1), dtype=np.int64)
-    bwd_col = np.zeros((1, 1), dtype=np.int64)
-
-    # chunked level columns (dist_splu + diagnostics)
-    W = 32
-    while W > 4 and W * max_l * max_u * b * b > 128_000_000:
-        W //= 2
-    chunks = []
-    for bk in buckets:
-        for sch in range(0, len(bk), W):
-            chunks.append(bk[sch:sch + W])
-    chunks = chunks or [np.zeros(0, dtype=np.int64)]
-    max_w = max((len(ck) for ck in chunks), default=1) or 1
-    lvl_cols = np.full((len(chunks), max_w), nb, dtype=np.int64)
-    for t, ck in enumerate(chunks):
-        lvl_cols[t, :len(ck)] = ck
+    # level columns, padded (tree-depth/width diagnostics)
+    max_w = max((len(bk) for bk in buckets), default=1) or 1
+    lvl_cols = np.full((max(len(buckets), 1), max_w), nb, dtype=np.int64)
+    for t, bk in enumerate(buckets):
+        lvl_cols[t, :len(bk)] = bk
 
     packed = _build_packed_left(
         nb, nblk, nlev, buckets, b, store, diag_idx, sec_bounds,
@@ -315,8 +264,6 @@ def splu_analyze(n: int, rows: np.ndarray, cols: np.ndarray,
     return SpluPlan(
         n=n, b=b, nb=nb, nblk=nblk, perm=perm_old2new,
         scatter_idx=scatter_idx, pad_idx=pad_idx, diag_idx=diag_idx,
-        l_idx=l_idx, u_idx=u_idx, upd_idx=upd_idx, lrow_idx=lrow_idx,
-        fwd_idx=fwd_idx, fwd_col=fwd_col, bwd_idx=bwd_idx, bwd_col=bwd_col,
         pivot_epsilon=pivot_epsilon, fill_blocks=fill_blocks,
         lvl_cols=lvl_cols, packed=packed)
 
@@ -509,7 +456,10 @@ def _gj_inv(D, delta):
     reported — interface_cudss.cu:288-351 strategy). Elementwise-only, so
     it avoids XLA:TPU's sequential LU custom call.
 
-    Returns (Dinv, log|det|, min|pivot|, n_perturbed) per batch lane."""
+    Returns (Dinv, log|det|, min|pivot|, n_perturbed, phase) per batch
+    lane; ``phase`` is the product of pivot signs (sign of the
+    determinant, the MUMPS ICNTL(33) sign; unit-modulus complex phase
+    for complex dtypes)."""
     w, m = D.shape[0], D.shape[-1]
     dtype = D.dtype
     rdt = jnp.zeros((), dtype=dtype).real.dtype
@@ -519,6 +469,7 @@ def _gj_inv(D, delta):
     ld = jnp.zeros(w, dtype=rdt)
     mp = jnp.full(w, jnp.inf, dtype=rdt)
     npert = jnp.zeros(w, dtype=jnp.int32)
+    ph = jnp.ones(w, dtype=dtype)
     d = delta.astype(rdt)
     for j in range(m):
         pj = W[:, j, j]
@@ -529,11 +480,14 @@ def _gj_inv(D, delta):
         unit = jnp.where(ap > 0, pj / jnp.maximum(ap, 1e-300).astype(dtype),
                          jnp.ones((), dtype=dtype))
         pj = jnp.where(bad, unit * d.astype(dtype), pj)
-        ld = ld + jnp.log(jnp.maximum(jnp.abs(pj), 1e-300))
+        apj = jnp.abs(pj)
+        ph = ph * jnp.where(apj > 0, pj / jnp.maximum(apj, 1e-300)
+                            .astype(dtype), jnp.ones((), dtype=dtype))
+        ld = ld + jnp.log(jnp.maximum(apj, 1e-300))
         row = W[:, j, :] / pj[:, None]
         f = W[:, :, j].at[:, j].set(0)
         W = (W - f[:, :, None] * row[:, None, :]).at[:, j, :].set(row)
-    return W[:, :, m:], ld, mp, npert
+    return W[:, :, m:], ld, mp, npert, ph
 
 
 def _inv_block(D, delta):
@@ -546,11 +500,11 @@ def _inv_block(D, delta):
     h = m // 2
     A, B = D[:, :h, :h], D[:, :h, h:]
     C, Dd = D[:, h:, :h], D[:, h:, h:]
-    Ai, ld1, mp1, np1 = _inv_block(A, delta)
+    Ai, ld1, mp1, np1, ph1 = _inv_block(A, delta)
     AiB = Ai @ B
     CAi = C @ Ai
     S = Dd - C @ AiB
-    Si, ld2, mp2, np2 = _inv_block(S, delta)
+    Si, ld2, mp2, np2, ph2 = _inv_block(S, delta)
     SiCAi = Si @ CAi
     X11 = Ai + AiB @ SiCAi
     X12 = -AiB @ Si
@@ -558,7 +512,7 @@ def _inv_block(D, delta):
     top = jnp.concatenate([X11, X12], axis=-1)
     bot = jnp.concatenate([X21, Si], axis=-1)
     return (jnp.concatenate([top, bot], axis=-2), ld1 + ld2,
-            jnp.minimum(mp1, mp2), np1 + np2)
+            jnp.minimum(mp1, mp2), np1 + np2, ph1 * ph2)
 
 
 def splu_factorize(plan: SpluPlan, data):
@@ -691,27 +645,14 @@ def _cmatvec_planes(a, v, b):
                            axis=1).reshape(n, 2 * b)
 
 
-def splu_factorize_multi(plan: SpluPlan, datas):
-    """Factorize SEVERAL matrices with the same sparsity in ONE scan over
-    the packed left-looking schedule (the Radau5 real/complex pair shares
-    every scan-step's fixed cost — P5). Scatter-free: each row gathers
-    its contribution pairs, segment-sums them, post-processes one
-    contiguous storage range, and writes back with dynamic_update_slice.
-
-    COMPLEX matrices are stored as REAL PLANES (nblk, 2*b*b): on this
-    TPU backend complex indexed ops (gather / dynamic_update_slice) are
-    four orders of magnitude slower than f32, while complex dense math
-    is fine — so all indexing runs on the planes and values convert to
-    complex only inside the row's einsums. Diagonal inversion uses the
-    [[R,-I],[I,R]] real embedding (log|det K| = 2 log|det M|)."""
-    b, nb, nblk = plan.b, plan.nb, plan.nblk
+def _init_states(plan: SpluPlan, datas):
+    """Assemble entry values into padded block storage (planes layout for
+    complex). Returns (states, deltas, cplxs); each state is the scan
+    carry (blocks, log|det|, min|pivot|, n_perturbed, phase)."""
+    b, nblk = plan.b, plan.nblk
     bb = b * b
-    pk = plan.packed
-    TL = pk["TL"]
-
-    states = []
-    deltas = []
-    cplxs = []
+    TL = plan.packed["TL"]
+    states, deltas, cplxs = [], [], []
     for data in datas:
         data = jnp.asarray(data)
         cplx = jnp.iscomplexobj(data)
@@ -738,18 +679,41 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
                        jnp.asarray(jnp.inf, rdt),
-                       jnp.zeros((), jnp.int32)))
+                       jnp.zeros((), jnp.int32),
+                       jnp.ones((), rdt)))
+    return states, deltas, cplxs
 
-    xs = {k: jnp.asarray(pk[k]) for k in
-          ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
-           "pair_first", "dinv")}
 
+def _pallas_mode():
+    """(enabled, interpret) for the pair-contraction Pallas kernel.
+    Auto: on iff running on a real TPU. Forcing it on elsewhere
+    (RUSSELL_TPU_SPLU_PALLAS=1) runs the kernel in interpret mode so CPU
+    CI exercises the same code path."""
     import os as _os
     use_pallas = _os.environ.get("RUSSELL_TPU_SPLU_PALLAS", "auto")
+    on_tpu = jax.default_backend() == "tpu"
     if use_pallas == "auto":
-        pallas_on = jax.default_backend() == "tpu"
-    else:
-        pallas_on = use_pallas not in ("0", "off", "false")
+        return on_tpu, False
+    on = use_pallas not in ("0", "off", "false")
+    return on, on and not on_tpu
+
+
+def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
+                 psum_axis=None):
+    """Run the packed left-looking elimination scan over schedule rows
+    ``xs``. With ``psum_axis`` (inside shard_map) the pair arrays are the
+    per-device slices of the contribution pairs and the segment sums are
+    psum-combined — a TRUE sum split over devices, numerically the
+    single-chip sum up to float reassociation (safe in f32, unlike
+    delta-add combines). Returns the final carries."""
+    b = plan.b
+    bb = b * b
+    TL = plan.packed["TL"]
+    pallas_on, interpret = _pallas_mode()
+    if psum_axis is not None:
+        # the accumulate kernel's per-lane dummy pairs assume the full
+        # pair set on one device; the sharded path uses segment_sum+psum
+        pallas_on = False
 
     def row_step(sts, x):
         lane = jnp.arange(TL, dtype=jnp.int32)
@@ -757,14 +721,14 @@ def splu_factorize_multi(plan: SpluPlan, datas):
         t0 = x["t0"]
         z0 = jnp.zeros((), dtype=t0.dtype)
         out_states = []
-        for (blocks, ld, mp, npert), delta, cplx in zip(sts, deltas,
-                                                        cplxs):
+        for (blocks, ld, mp, npert, ph), delta, cplx in zip(
+                sts, deltas, cplxs):
             width = blocks.shape[1]
             cur = lax.dynamic_slice(blocks, (t0, z0), (TL, width))
             if pallas_on:
                 acc = _pairs_pallas(blocks, x["pair_l"], x["pair_u"],
                                     x["pair_seg"], x["pair_first"],
-                                    TL, b, cplx, interpret=False)
+                                    TL, b, cplx, interpret=interpret)
                 vals = cur - acc
             else:
                 gl = blocks[x["pair_l"]]
@@ -782,6 +746,8 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                 summed = jax.ops.segment_sum(pr, x["pair_seg"],
                                              num_segments=TL + 1,
                                              indices_are_sorted=True)
+                if psum_axis is not None:
+                    summed = lax.psum(summed, psum_axis)
                 vals = cur - summed[:TL]
 
             if cplx:
@@ -791,7 +757,10 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                     top = jnp.concatenate([R, -I], axis=-1)
                     bot = jnp.concatenate([I, R], axis=-1)
                     K = jnp.concatenate([top, bot], axis=-2)
-                    Kinv, ldw, mpw, npw = _inv_block(K, delta)
+                    # det K = |det M|^2: magnitude doubles, the complex
+                    # phase of det M is not recoverable here (phase
+                    # stays 1; see splu_factorize_multi docstring)
+                    Kinv, ldw, mpw, npw, _phw = _inv_block(K, delta)
                     X = Kinv[:, :b, :b]
                     Y = Kinv[:, b:, :b]
                     newv = jnp.concatenate(
@@ -801,23 +770,26 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                     mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
                     npd = jnp.sum(jnp.where(live, npw,
                                             0)).astype(jnp.int32)
-                    return newv, ldd, mpd, npd
+                    return newv, ldd, mpd, npd, jnp.ones((), ld.dtype)
 
                 def do_lpan(vals):
                     Dv = blocks[x["dinv"]]
                     z = jnp.zeros((), ld.dtype)
                     return (_cmul_planes(vals, Dv, b), z,
                             jnp.asarray(jnp.inf, mp.dtype),
-                            jnp.zeros((), jnp.int32))
+                            jnp.zeros((), jnp.int32),
+                            jnp.ones((), ld.dtype))
             else:
                 def do_diag(vals):
-                    Dinv, ldw, mpw, npw = _inv_block(
+                    Dinv, ldw, mpw, npw, phw = _inv_block(
                         vals.reshape(TL, b, b), delta)
                     ldd = jnp.sum(jnp.where(live, ldw, 0.0))
                     mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
                     npd = jnp.sum(jnp.where(live, npw,
                                             0)).astype(jnp.int32)
-                    return Dinv.reshape(TL, bb), ldd, mpd, npd
+                    phd = jnp.prod(jnp.where(live, phw,
+                                             jnp.ones_like(phw)))
+                    return Dinv.reshape(TL, bb), ldd, mpd, npd, phd
 
                 def do_lpan(vals):
                     Dv = blocks[x["dinv"]].reshape(TL, b, b)
@@ -827,28 +799,53 @@ def splu_factorize_multi(plan: SpluPlan, datas):
                     z = jnp.zeros((), ld.dtype)
                     return (Lh.reshape(TL, bb), z,
                             jnp.asarray(jnp.inf, mp.dtype),
-                            jnp.zeros((), jnp.int32))
+                            jnp.zeros((), jnp.int32),
+                            jnp.ones((), ld.dtype))
 
             def do_upan(vals):
                 z = jnp.zeros((), ld.dtype)
                 return (vals, z, jnp.asarray(jnp.inf, mp.dtype),
-                        jnp.zeros((), jnp.int32))
+                        jnp.zeros((), jnp.int32), jnp.ones((), ld.dtype))
 
-            newv, ldd, mpd, npd = lax.switch(
+            newv, ldd, mpd, npd, phd = lax.switch(
                 x["r_type"], [do_diag, do_lpan, do_upan], vals)
             outv = jnp.where(live[:, None], newv, cur)
             blocks = lax.dynamic_update_slice(blocks, outv, (t0, z0))
             out_states.append((blocks, ld + ldd, jnp.minimum(mp, mpd),
-                               npert + npd))
+                               npert + npd, ph * phd))
         return tuple(out_states), None
 
     out_states, _ = lax.scan(row_step, tuple(states), xs)
+    return out_states
+
+
+def splu_factorize_multi(plan: SpluPlan, datas):
+    """Factorize SEVERAL matrices with the same sparsity in ONE scan over
+    the packed left-looking schedule (the Radau5 real/complex pair shares
+    every scan-step's fixed cost — P5). Scatter-free: each row gathers
+    its contribution pairs, segment-sums them, post-processes one
+    contiguous storage range, and writes back with dynamic_update_slice.
+
+    COMPLEX matrices are stored as REAL PLANES (nblk, 2*b*b): on this
+    TPU backend complex indexed ops (gather / dynamic_update_slice) are
+    four orders of magnitude slower than f32, while complex dense math
+    is fine — so all indexing runs on the planes and values convert to
+    complex only inside the row's einsums. Diagonal inversion uses the
+    [[R,-I],[I,R]] real embedding (log|det K| = 2 log|det M|); the
+    embedding yields |det M| but not its complex phase, so ``phase`` is
+    exact (±1, ICNTL(33)-style sign) for REAL matrices and 1 for
+    complex ones."""
+    states, deltas, cplxs = _init_states(plan, datas)
+    xs = {k: jnp.asarray(plan.packed[k]) for k in
+          ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
+           "pair_first", "dinv")}
+    out_states = _scan_packed(plan, states, deltas, cplxs, xs)
     facs = []
-    for (blocks, ld, mp, npert), cplx in zip(out_states, cplxs):
+    for (blocks, ld, mp, npert, ph), cplx in zip(out_states, cplxs):
         facs.append({
             "blocks": blocks,            # planes layout iff complex
             "logdet": ld,
-            "phase": jnp.ones((), dtype=blocks.dtype),
+            "phase": ph,
             "min_pivot": mp,
             "n_perturbed": npert,
         })
@@ -882,8 +879,6 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     bps = []
     for fac, bvec in zip(facs, bvecs):
         bl = fac["blocks"]
-        if bl.ndim == 3:            # legacy 3-D (dist_splu), real only
-            bl = bl.reshape(bl.shape[0], b * b)
         cplx = bl.shape[1] == 2 * bb   # planes layout (shape is static)
         blks.append(bl)
         cplxs.append(cplx)

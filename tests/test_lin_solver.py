@@ -456,3 +456,106 @@ def test_splu_pair_factorize_solve_matches_separate():
     for i, j, v in zip(ii, jj, vc):
         Ac[i, j] += v
     assert np.max(np.abs(Ac @ np.asarray(xc) - bc)) < 1e-9
+
+
+def test_splu_determinant_sign():
+    # SPLU phase must be the SIGNED determinant (MUMPS ICNTL(33) analog):
+    # negate the Laplacian on an odd n so det < 0
+    import jax.numpy as jnp
+    from russell_tpu.sparse import samples as _samples
+    from russell_tpu.sparse import splu as _splu
+
+    coo = _samples.laplacian_2d(5)          # n = 25 (odd)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    A = np.asarray(coo.as_dense())
+    for scale in (1.0, -1.0):
+        sign_ref, logdet_ref = np.linalg.slogdet(scale * A)
+        plan = _splu.splu_analyze(n, ii, jj, block_size=8)
+        fac = _splu.splu_factorize(plan, jnp.asarray(scale * vv))
+        assert float(fac["phase"]) == sign_ref
+        assert abs(float(fac["logdet"]) - logdet_ref) < 1e-8
+    assert np.linalg.slogdet(-A)[0] == -1.0  # the case actually bites
+
+
+def test_splu_determinant_sign_via_lin_solver():
+    # end-to-end determinant through LinSolver with Genie.SPLU forced
+    coo, _, _, _ = samples.umfpack_unsymmetric_5x5()
+    ii, jj, vv = coo.triplets()
+    A = coo.as_dense()
+    neg = CooMatrix(coo.nrow, coo.ncol, len(np.asarray(vv)))
+    for i, j, v in zip(np.asarray(ii), np.asarray(jj), np.asarray(vv)):
+        neg.put(int(i), int(j), -float(v))
+    det_ref = np.linalg.det(-A)
+    assert det_ref < 0
+    solver = LinSolver(Genie.SPLU)
+    solver.factorize(neg, LinSolParams(compute_determinant=True))
+    m, base, e = solver.determinant()
+    approx_eq(m * base ** e, det_ref, abs(det_ref) * 1e-8)
+
+
+def test_splu_pallas_interpret_parity(monkeypatch):
+    # force the Pallas pair-contraction kernel in interpret mode on CPU
+    # and check it reproduces the XLA segment-sum path bit-for-bit
+    import jax.numpy as jnp
+    from russell_tpu.sparse import samples as _samples
+    from russell_tpu.sparse import splu as _splu
+
+    coo = _samples.laplacian_2d(8)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    plan = _splu.splu_analyze(n, ii, jj, block_size=32)
+    monkeypatch.setenv("RUSSELL_TPU_SPLU_PALLAS", "0")
+    fac_x = _splu.splu_factorize(plan, jnp.asarray(vv, dtype=np.float32))
+    monkeypatch.setenv("RUSSELL_TPU_SPLU_PALLAS", "1")
+    assert _splu._pallas_mode() == (True, True)   # interpret off-TPU
+    fac_p = _splu.splu_factorize(plan, jnp.asarray(vv, dtype=np.float32))
+    np.testing.assert_allclose(np.asarray(fac_p["blocks"]),
+                               np.asarray(fac_x["blocks"]),
+                               rtol=1e-6, atol=1e-6)
+    # complex planes layout through the same kernel
+    vc = (vv + 0.25j * vv).astype(np.complex64)
+    monkeypatch.setenv("RUSSELL_TPU_SPLU_PALLAS", "0")
+    fc_x = _splu.splu_factorize(plan, jnp.asarray(vc))
+    monkeypatch.setenv("RUSSELL_TPU_SPLU_PALLAS", "1")
+    fc_p = _splu.splu_factorize(plan, jnp.asarray(vc))
+    np.testing.assert_allclose(np.asarray(fc_p["blocks"]),
+                               np.asarray(fc_x["blocks"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_error_analysis_and_condition_numbers():
+    # compute_error_estimates / compute_condition_numbers wired into
+    # solve (MUMPS ICNTL(11) / RINFOG analogs, lin_sol_params.rs:52-57)
+    coo, _, _, _ = samples.umfpack_unsymmetric_5x5()
+    A = coo.as_dense()
+    x_true = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    rhs = A @ x_true
+    solver = LinSolver(Genie.DENSE)
+    solver.factorize(coo, LinSolParams(compute_error_estimates=True,
+                                       compute_condition_numbers=True))
+    x = np.asarray(solver.solve(rhs))
+    ms = solver.stats.mumps_stats
+    # exact-solve backward errors are at rounding level
+    assert 0.0 <= ms["backward_error_omega1"] < 1e-13
+    assert 0.0 <= ms["backward_error_omega2"] < 1e-13
+    assert 0.0 <= ms["normalized_delta_x"] < 1e-12
+    assert ms["inf_norm_a"] == np.max(np.abs(A).sum(axis=1))
+    assert abs(ms["inf_norm_x"] - 5.0) < 1e-12
+    # power-iteration estimates bound the true condition number from
+    # below and should land within a small factor for this 5x5
+    c1_true = np.linalg.cond(A, np.inf)
+    c2_true = np.linalg.cond(A, 1)
+    assert ms["condition_number1"] <= c1_true * (1 + 1e-10)
+    assert ms["condition_number1"] > c1_true / 10
+    assert ms["condition_number2"] <= c2_true * (1 + 1e-10)
+    assert ms["condition_number2"] > c2_true / 10
+    rc = solver.stats.output["umfpack_rcond_estimate"]
+    assert 0 < rc <= 1.0 and abs(rc - 1.0 / ms["condition_number1"]) < 1e-12
+    # also exercised on the SPLU path (packed substitution solves)
+    coo2 = samples.laplacian_2d(8)
+    s2 = LinSolver(Genie.SPLU)
+    s2.factorize(coo2, LinSolParams(compute_error_estimates=True))
+    b2 = np.linspace(1.0, 2.0, coo2.nrow)
+    s2.solve(b2)
+    assert s2.stats.mumps_stats["backward_error_omega1"] < 1e-12

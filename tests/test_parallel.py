@@ -59,8 +59,12 @@ def test_distributed_bcr_factorization(mesh):
     assert resid < 1e-10
 
 
-def test_dist_splu_factorize_matches_single_chip():
-    # level-sharded distributed SPLU == single-chip factorization
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_dist_splu_factorize_matches_single_chip(dtype):
+    # pair-sharded distributed SPLU == single-chip factorization; the
+    # f32 case tracks the driver's dryrun contract (absolute residual
+    # 1e-3, no refinement) — the configuration that caught the round-1
+    # delta-add poisoning
     import jax.numpy as jnp
     from russell_tpu.parallel import make_mesh, dist_splu_factorize
     from russell_tpu.sparse import samples as _samples
@@ -71,12 +75,19 @@ def test_dist_splu_factorize_matches_single_chip():
     n = coo.nrow
     plan = _splu.splu_analyze(n, ii, jj, block_size=16, ordering="nd")
     mesh = make_mesh(8)
-    fac_d = dist_splu_factorize(mesh, plan, jnp.asarray(vv))
-    fac_s = _splu.splu_factorize(plan, jnp.asarray(vv))
-    # dist_splu uses the legacy 3-D layout; compare via the solve below
+    fac_d = dist_splu_factorize(mesh, plan, jnp.asarray(vv, dtype=dtype))
+    fac_s = _splu.splu_factorize(plan, jnp.asarray(vv, dtype=dtype))
+    # the sharded pair sums only reassociate float addition: factors
+    # must agree tightly with single-chip in BOTH precisions
+    db = np.asarray(fac_d["blocks"], dtype=np.float64)
+    sb = np.asarray(fac_s["blocks"], dtype=np.float64)
+    tol_blk = 1e-12 if dtype == np.float64 else 1e-4
+    assert np.max(np.abs(db - sb)) <= tol_blk * (1 + np.max(np.abs(sb)))
     b = np.linspace(1.0, 2.0, n)
-    x = _splu.splu_solve(plan, fac_d, jnp.asarray(b))
+    x = _splu.splu_solve(plan, fac_d, jnp.asarray(b, dtype=dtype))
     A = np.asarray(coo.as_dense())
-    # raw (refinement-free) residual, relative to the matrix scale
-    scale = np.max(np.abs(A)) * np.max(np.abs(np.asarray(x)))
-    assert np.max(np.abs(A @ np.asarray(x) - b)) / scale < 1e-9
+    resid = np.max(np.abs(A @ np.asarray(x, dtype=np.float64) - b))
+    assert resid < (1e-9 if dtype == np.float64 else 1e-3)  # absolute
+    assert float(fac_d["phase"]) == float(fac_s["phase"])
+    assert abs(float(fac_d["logdet"]) - float(fac_s["logdet"])) < (
+        1e-8 if dtype == np.float64 else 1e-2)
