@@ -39,10 +39,14 @@ def build_fused_solver(stepper, params, chunk=None):
     attached TPU's worker kills single executions that run for minutes,
     so on TPU the integration runs as a short host loop over a jitted
     while_loop that carries the complete solver state (counters are
-    bit-identical; the only cost is one scalar sync per chunk).
-    ``chunk=None`` -> 8 on TPU (RUSSELL_TPU_FUSED_CHUNK overrides),
-    unchunked elsewhere; ``chunk=0`` forces a single device call (the
-    vmappable form solve_batch needs)."""
+    bit-identical; the only cost is one scalar sync per chunk). The cap
+    is ADAPTIVE: it lives in the traced state (no recompiles) and the
+    host loop re-sizes it each call from the measured per-step wall time
+    to target ~25 s per device call — big problems auto-shrink to 1-2
+    steps/call, small ones grow to amortize the sync. ``chunk=None`` ->
+    initial cap 4 on TPU (RUSSELL_TPU_FUSED_CHUNK overrides the initial
+    value), unchunked elsewhere; ``chunk=0`` forces a single device call
+    (the vmappable form solve_batch needs)."""
     system = stepper.system
     plan = stepper.plan
     ndim = system.ndim
@@ -87,10 +91,13 @@ def build_fused_solver(stepper, params, chunk=None):
 
     import os as _os
     if chunk is None:
-        chunk = (int(_os.environ.get("RUSSELL_TPU_FUSED_CHUNK", "8"))
+        chunk = (int(_os.environ.get("RUSSELL_TPU_FUSED_CHUNK", "4"))
                  if jax.default_backend() == "tpu" else 0)
     chunked = bool(chunk and chunk > 0)
-    chunk_cap = chunk if chunked else params.step.n_step_max
+    chunk_cap0 = chunk if chunked else params.step.n_step_max
+    # wall-clock target per device call; the worker kills ~60 s runs
+    chunk_target_s = float(_os.environ.get("RUSSELL_TPU_FUSED_TARGET_S",
+                                           "25.0"))
 
     def factorize(jv, h, dtype):
         alpha, beta, gamma = A / h, B / h, G / h
@@ -225,6 +232,7 @@ def build_fused_solver(stepper, params, chunk=None):
         zero3 = jnp.zeros((3, ndim), dtype=dtype)
         state = {
             "x1": x1, "chunk_steps": jnp.zeros((), jnp.int32),
+            "chunk_cap": jnp.asarray(chunk_cap0, jnp.int32),
             "x": x0, "y": y0, "h_new": h0, "h_prev": h0,
             "rel_error": jnp.zeros((), dtype),
             "rel_error_prev": jnp.asarray(rel_error_prev_min, dtype),
@@ -254,7 +262,7 @@ def build_fused_solver(stepper, params, chunk=None):
 
     def cond(s):
         return ((s["status"] == 0) & (s["iter_count"] < n_step_max)
-                & (s["chunk_steps"] < chunk_cap))
+                & (s["chunk_steps"] < s["chunk_cap"]))
 
     def body(s):
         s = {**s, "iter_count": s["iter_count"] + 1,
@@ -460,12 +468,25 @@ def build_fused_solver(stepper, params, chunk=None):
     _run_j = jax.jit(_run)
 
     def solve(x0, y0, x1, h0):
+        import time as _time
         st = _init_j(x0, y0, x1, h0)
+        first_call = True
         while True:
+            t0 = _time.perf_counter()
             st = _run_j(st)
-            if (not chunked) or int(st["status"]) != 0 \
-                    or int(st["iter_count"]) >= n_step_max:
+            done = (not chunked) or int(st["status"]) != 0 \
+                or int(st["iter_count"]) >= n_step_max
+            if done:
                 break
+            # adapt the cap toward the wall-clock target (the first call
+            # pays the compile, so its timing is not representative)
+            elapsed = _time.perf_counter() - t0
+            steps = max(int(st["chunk_steps"]), 1)
+            if not first_call and elapsed > 0:
+                cap = int(max(1, min(256, chunk_target_s * steps
+                                     / elapsed)))
+                st = {**st, "chunk_cap": jnp.asarray(cap, jnp.int32)}
+            first_call = False
         stats = {k: st[k] for k in
                  ("status", "n_steps", "n_accepted", "n_rejected",
                   "n_function", "n_jacobian", "n_factor", "n_lin_sol",

@@ -40,6 +40,13 @@ from jax import lax
 
 from russell_tpu.sparse.ordering import mindeg_ordering, symmetrize_pattern
 
+import os as _os
+# perf-diagnostic only (see _scan_packed): 0/1/2 forces every scan row
+# through one branch without lax.switch
+_FORCE_TYPE = (int(_os.environ["RUSSELL_TPU_SPLU_FORCE_TYPE"])
+               if _os.environ.get("RUSSELL_TPU_SPLU_FORCE_TYPE")
+               else None)
+
 __all__ = ["SpluPlan", "splu_analyze", "splu_factorize",
            "splu_factorize_multi", "splu_solve", "splu_solve_multi"]
 
@@ -807,8 +814,15 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                 return (vals, z, jnp.asarray(jnp.inf, mp.dtype),
                         jnp.zeros((), jnp.int32), jnp.ones((), ld.dtype))
 
-            newv, ldd, mpd, npd, phd = lax.switch(
-                x["r_type"], [do_diag, do_lpan, do_upan], vals)
+            if _FORCE_TYPE is not None:
+                # perf-diagnostic knob: bypass lax.switch entirely and run
+                # ONE row type for every row (results are wrong; timing
+                # isolates the conditional's cost)
+                newv, ldd, mpd, npd, phd = (
+                    [do_diag, do_lpan, do_upan][_FORCE_TYPE](vals))
+            else:
+                newv, ldd, mpd, npd, phd = lax.switch(
+                    x["r_type"], [do_diag, do_lpan, do_upan], vals)
             outv = jnp.where(live[:, None], newv, cur)
             blocks = lax.dynamic_update_slice(blocks, outv, (t0, z0))
             out_states.append((blocks, ld + ldd, jnp.minimum(mp, mpd),
