@@ -757,8 +757,15 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                     summed = lax.psum(summed, psum_axis)
                 vals = cur - summed[:TL]
 
+            # hoist the Dinv gather OUT of the switch branches: a branch
+            # closing over ``blocks`` lifts the whole factor array into
+            # the conditional as an operand, and XLA layout-copies it
+            # every scan row (per-row cost then scales with factor size)
+            Dv_all = blocks[x["dinv"]]
+
             if cplx:
-                def do_diag(vals):
+                def do_diag(ops):
+                    vals, _Dv = ops
                     v = vals.reshape(TL, 2, b, b)
                     R, I = v[:, 0], v[:, 1]
                     top = jnp.concatenate([R, -I], axis=-1)
@@ -779,15 +786,16 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                                             0)).astype(jnp.int32)
                     return newv, ldd, mpd, npd, jnp.ones((), ld.dtype)
 
-                def do_lpan(vals):
-                    Dv = blocks[x["dinv"]]
+                def do_lpan(ops):
+                    vals, Dv = ops
                     z = jnp.zeros((), ld.dtype)
                     return (_cmul_planes(vals, Dv, b), z,
                             jnp.asarray(jnp.inf, mp.dtype),
                             jnp.zeros((), jnp.int32),
                             jnp.ones((), ld.dtype))
             else:
-                def do_diag(vals):
+                def do_diag(ops):
+                    vals, _Dv = ops
                     Dinv, ldw, mpw, npw, phw = _inv_block(
                         vals.reshape(TL, b, b), delta)
                     ldd = jnp.sum(jnp.where(live, ldw, 0.0))
@@ -798,8 +806,9 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                                              jnp.ones_like(phw)))
                     return Dinv.reshape(TL, bb), ldd, mpd, npd, phd
 
-                def do_lpan(vals):
-                    Dv = blocks[x["dinv"]].reshape(TL, b, b)
+                def do_lpan(ops):
+                    vals, Dv = ops
+                    Dv = Dv.reshape(TL, b, b)
                     Lh = jnp.einsum("cij,cjk->cik",
                                     vals.reshape(TL, b, b), Dv,
                                     preferred_element_type=Dv.dtype)
@@ -809,7 +818,8 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                             jnp.zeros((), jnp.int32),
                             jnp.ones((), ld.dtype))
 
-            def do_upan(vals):
+            def do_upan(ops):
+                vals, _Dv = ops
                 z = jnp.zeros((), ld.dtype)
                 return (vals, z, jnp.asarray(jnp.inf, mp.dtype),
                         jnp.zeros((), jnp.int32), jnp.ones((), ld.dtype))
@@ -819,10 +829,12 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                 # ONE row type for every row (results are wrong; timing
                 # isolates the conditional's cost)
                 newv, ldd, mpd, npd, phd = (
-                    [do_diag, do_lpan, do_upan][_FORCE_TYPE](vals))
+                    [do_diag, do_lpan, do_upan][_FORCE_TYPE](
+                        (vals, Dv_all)))
             else:
                 newv, ldd, mpd, npd, phd = lax.switch(
-                    x["r_type"], [do_diag, do_lpan, do_upan], vals)
+                    x["r_type"], [do_diag, do_lpan, do_upan],
+                    (vals, Dv_all))
             outv = jnp.where(live[:, None], newv, cur)
             blocks = lax.dynamic_update_slice(blocks, outv, (t0, z0))
             out_states.append((blocks, ld + ldd, jnp.minimum(mp, mpd),

@@ -197,8 +197,13 @@ def test_bsr_pallas_spmv_spmm():
     y_ein = np.asarray(bsr_matvec(bsr, x, use_pallas=False))
     np.testing.assert_allclose(y_ein, A @ x, atol=1e-11)
     X = np.random.default_rng(1).standard_normal((coo.nrow, 5))
-    np.testing.assert_allclose(np.asarray(bsr_matmat(bsr, X)), A @ X,
-                               atol=1e-11)
+    # SpMM: Pallas (interpret) and einsum fallback
+    np.testing.assert_allclose(np.asarray(bsr_matmat(bsr, X,
+                                                     use_pallas=True)),
+                               A @ X, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(bsr_matmat(bsr, X,
+                                                     use_pallas=False)),
+                               A @ X, atol=1e-11)
 
 
 def test_spgemm_block_product():
@@ -208,9 +213,11 @@ def test_spgemm_block_product():
     bsr = bsr_from_coo(coo, bm=16, bn=16)
     A = coo.as_dense()
     plan = spgemm_plan(bsr, bsr)
-    C, cij = spgemm(plan, bsr, bsr)
-    Cd = np.zeros((bsr.n_rows_pad, bsr.n_rows_pad))
-    for q in range(plan.c_blocks):
-        i, j = cij[q]
-        Cd[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] += np.asarray(C[q])
-    np.testing.assert_allclose(Cd[:coo.nrow, :coo.ncol], A @ A, atol=1e-11)
+    for use_pallas in (True, False):   # Pallas accumulate kernel + fallback
+        C, cij = spgemm(plan, bsr, bsr, use_pallas=use_pallas)
+        Cd = np.zeros((bsr.n_rows_pad, bsr.n_rows_pad))
+        for q in range(plan.c_blocks):
+            i, j = cij[q]
+            Cd[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] += np.asarray(C[q])
+        np.testing.assert_allclose(Cd[:coo.nrow, :coo.ncol], A @ A,
+                                   atol=1e-11)
