@@ -90,23 +90,44 @@ def mat_eigen(a):
 
     Returns (l_real, l_imag, v_real, v_imag) — the unpacked form the
     reference produces from LAPACK's compact conjugate-pair representation
-    (internal/dgeev_data.rs). Runs on the CPU backend (XLA lowers
-    nonsymmetric eig on CPU only, like LAPACK dgeev in the reference).
+    (internal/dgeev_data.rs).
+
+    EXPLICIT HOST CALLBACK: the nonsymmetric eigenproblem has no XLA
+    lowering on TPU (XLA lowers ``eig`` on CPU only — the same LAPACK
+    dgeev the reference binds in interface_blas.c). It runs through
+    ``jax.pure_callback`` so the op is *traceable/jittable* and its host
+    placement is explicit in the jaxpr, not a silent device hop; results
+    come back as REAL planes (complex device->host transfer is
+    unimplemented on some TPU backends).
     """
-    w, v = _eig_cpu(np.asarray(a))
-    return jnp.real(w), jnp.imag(w), jnp.real(v), jnp.imag(v)
+    a = jnp.asarray(a)
+    n = a.shape[-1]
+    rdt = jnp.zeros((), a.dtype).real.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct(a.shape[:-2] + (n,), rdt),
+        jax.ShapeDtypeStruct(a.shape[:-2] + (n,), rdt),
+        jax.ShapeDtypeStruct(a.shape, rdt),
+        jax.ShapeDtypeStruct(a.shape, rdt),
+    )
+    return jax.pure_callback(_eig_host, out_shapes, a,
+                             vmap_method="expand_dims")
+
+
+def _eig_host(a):
+    """LAPACK dgeev/zgeev on host via numpy (batched)."""
+    w, v = np.linalg.eig(a)
+    rdt = np.asarray(a).real.dtype
+    return (np.ascontiguousarray(w.real, rdt),
+            np.ascontiguousarray(w.imag, rdt),
+            np.ascontiguousarray(v.real, rdt),
+            np.ascontiguousarray(v.imag, rdt))
 
 
 def mat_eigenvalues(a):
-    """Eigenvalues only (matrix/mat_eigenvalues.rs); complex array."""
-    w, _ = _eig_cpu(np.asarray(a))
-    return jnp.asarray(w)
-
-
-def _eig_cpu(a: np.ndarray):
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        w, v = jnp.linalg.eig(jnp.asarray(a))
-    return np.asarray(w), np.asarray(v)
+    """Eigenvalues only (matrix/mat_eigenvalues.rs); complex array
+    (device-resident; built on device from the callback's real planes)."""
+    lr, li, _, _ = mat_eigen(a)
+    return jax.lax.complex(lr, li)
 
 
 def mat_eigen_sym(a):
@@ -182,13 +203,13 @@ def mat_eigen_sym_jacobi(a, max_sweeps: int = 30):
 
 def mat_gen_eigen(a, b):
     """Generalized eigenproblem A v = lambda B v (matrix/mat_gen_eigen.rs,
-    dggev). Solved as eig(B^{-1} A) on the CPU backend; requires B
-    nonsingular (the reference's QZ handles singular B — flagged for a
-    native QZ later)."""
-    a = np.asarray(a)
-    b = np.asarray(b)
-    w, v = _eig_cpu(np.linalg.solve(b, a))
-    return jnp.real(w), jnp.imag(w), jnp.real(v), jnp.imag(v)
+    dggev). Jittable: B^{-1} A is formed on DEVICE (XLA solve), then the
+    nonsymmetric eig goes through the same explicit host callback as
+    :func:`mat_eigen`; requires B nonsingular (the reference's QZ handles
+    singular B — flagged for a native QZ later)."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    return mat_eigen(jnp.linalg.solve(b, a))
 
 
 def mat_svd(a):

@@ -1,5 +1,6 @@
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from russell_tpu.core import approx_eq, array_approx_eq, complex_array_approx_eq
@@ -84,6 +85,21 @@ def test_eigen_general():
     rot = np.array([[0.0, -1.0], [1.0, 0.0]])
     w2 = np.sort_complex(np.asarray(mat_eigenvalues(rot)))
     complex_array_approx_eq(w2, [-1j, 1j], 1e-12)
+
+
+def test_eigen_jittable_host_callback():
+    """mat_eigen is traceable (pure_callback), incl. under vmap."""
+    a = np.array([[0.0, 1.0], [-2.0, -3.0]])
+    lr, li, vr, vi = jax.jit(mat_eigen)(a)
+    array_approx_eq(np.sort(np.asarray(lr)), [-2.0, -1.0], 1e-12)
+    # residual check A v = lambda v (complex, assembled from planes)
+    lam = np.asarray(lr) + 1j * np.asarray(li)
+    V = np.asarray(vr) + 1j * np.asarray(vi)
+    array_approx_eq(np.abs(a @ V - V * lam[None, :]), np.zeros((2, 2)), 1e-12)
+    batch = np.stack([a, a.T])
+    lrb, _, _, _ = jax.vmap(mat_eigen)(batch)
+    array_approx_eq(np.sort(np.asarray(lrb), axis=1),
+                    [[-2.0, -1.0], [-2.0, -1.0]], 1e-12)
 
 
 def test_eigen_sym_and_jacobi():
