@@ -542,27 +542,28 @@ def splu_factorize(plan: SpluPlan, data):
     return splu_factorize_multi(plan, (data,))[0]
 
 
-def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, b, cplx,
+def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, be,
                   interpret):
     """Segment-summed block pair products via a Pallas TPU kernel.
 
     One grid step per pair: the pair's two storage blocks stream in via
-    scalar-prefetch-indexed DMA, the (b x b) product(s) run on the MXU,
+    scalar-prefetch-indexed DMA, the (be x be) product runs on the MXU,
     and the result accumulates into the output block selected by the
     pair's segment (revisited consecutively — segments are sorted). A
     per-lane dummy pair (first=1, l=u=0 -> scratch zeros) initializes
     each output block. XLA's gather/scatter row ops cost ~300 ns each on
     this TPU; this kernel streams at DMA rate instead.
 
-    Blocks are viewed as (N, R, b) with R = b (real) or 2b (complex
-    planes) so the trailing dims satisfy the TPU (8, 128)-divisible-or-
-    equal block rule."""
+    ``be`` is the EFFECTIVE block size: b for real matrices, 2b for
+    complex ones (stored as the real embedding K = [[R,-I],[I,R]], so
+    the product is a plain real matmul). Blocks are viewed as
+    (N, be, be); the (1, be, be) pair blocks equal the trailing array
+    dims, satisfying the TPU block-shape rule."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R = 2 * b if cplx else b
     N = blocks.shape[0]
-    b3 = blocks.reshape(N, R, b)
+    b3 = blocks.reshape(N, be, be)
     n_pairs = pl_idx.shape[0]
 
     def kernel(pl_ref, pu_ref, seg_ref, first_ref, bl_ref, bu_ref,
@@ -573,89 +574,60 @@ def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, b, cplx,
         def _():
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        if cplx:
-            ar = bl_ref[0][:b, :]
-            ai = bl_ref[0][b:, :]
-            cr = bu_ref[0][:b, :]
-            ci_ = bu_ref[0][b:, :]
-            pr = (jnp.dot(ar, cr, preferred_element_type=out_ref.dtype)
-                  - jnp.dot(ai, ci_,
-                            preferred_element_type=out_ref.dtype))
-            pi = (jnp.dot(ar, ci_,
-                          preferred_element_type=out_ref.dtype)
-                  + jnp.dot(ai, cr,
-                            preferred_element_type=out_ref.dtype))
-            out_ref[0] += jnp.concatenate([pr, pi], axis=0)
-        else:
-            out_ref[0] += jnp.dot(bl_ref[0], bu_ref[0],
-                                  preferred_element_type=out_ref.dtype)
+        out_ref[0] += jnp.dot(bl_ref[0], bu_ref[0],
+                              preferred_element_type=out_ref.dtype)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_pairs,),
         in_specs=[
-            pl.BlockSpec((1, R, b),
+            pl.BlockSpec((1, be, be),
                          lambda i, pl_, pu_, sg_, fr_: (pl_[i], 0, 0)),
-            pl.BlockSpec((1, R, b),
+            pl.BlockSpec((1, be, be),
                          lambda i, pl_, pu_, sg_, fr_: (pu_[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, R, b),
+        out_specs=pl.BlockSpec((1, be, be),
                                lambda i, pl_, pu_, sg_, fr_:
                                (sg_[i], 0, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((TL, R, b), blocks.dtype),
+        out_shape=jax.ShapeDtypeStruct((TL, be, be), blocks.dtype),
         interpret=interpret,
     )(pl_idx, pu_idx, seg, first, b3, b3)
-    return out.reshape(TL, R * b)
+    return out.reshape(TL, be * be)
 
 
-def _cmul_planes(a, c, b):
-    """(C, 2*b*b) planes x (C, 2*b*b) planes -> (C, 2*b*b) planes complex
-    block product via four real einsums."""
-    ar = a.reshape(-1, 2, b, b)
-    cr = c.reshape(-1, 2, b, b)
-    Ar, Ai = ar[:, 0], ar[:, 1]
-    Br, Bi = cr[:, 0], cr[:, 1]
-    Pr = (jnp.einsum("cij,cjk->cik", Ar, Br,
-                     preferred_element_type=Ar.dtype)
-          - jnp.einsum("cij,cjk->cik", Ai, Bi,
-                       preferred_element_type=Ar.dtype))
-    Pi = (jnp.einsum("cij,cjk->cik", Ar, Bi,
-                     preferred_element_type=Ar.dtype)
-          + jnp.einsum("cij,cjk->cik", Ai, Br,
-                       preferred_element_type=Ar.dtype))
-    n = Pr.shape[0]
+def _kform_indices(plan: SpluPlan):
+    """Map each entry's real-layout position (st*b*b + r*b + c) to its
+    FOUR positions in the [[R,-I],[I,R]] real-embedding block (2b x 2b,
+    row-major): Re at (r, c) and (r+b, c+b); Im at (r+b, c) and -Im at
+    (r, c+b). Host-side numpy (plan arrays are host)."""
+    b = plan.b
     bb = b * b
-    return jnp.concatenate([Pr.reshape(n, 1, bb), Pi.reshape(n, 1, bb)],
-                           axis=1).reshape(n, 2 * bb)
-
-
-def _cmatvec_planes(a, v, b):
-    """(C, 2*b*b) block planes x (C, 2*b) vector planes -> (C, 2*b)."""
-    ar = a.reshape(-1, 2, b, b)
-    vr = v.reshape(-1, 2, b)
-    Ar, Ai = ar[:, 0], ar[:, 1]
-    xr, xi = vr[:, 0], vr[:, 1]
-    yr = (jnp.einsum("cij,cj->ci", Ar, xr,
-                     preferred_element_type=Ar.dtype)
-          - jnp.einsum("cij,cj->ci", Ai, xi,
-                       preferred_element_type=Ar.dtype))
-    yi = (jnp.einsum("cij,cj->ci", Ar, xi,
-                     preferred_element_type=Ar.dtype)
-          + jnp.einsum("cij,cj->ci", Ai, xr,
-                       preferred_element_type=Ar.dtype))
-    n = yr.shape[0]
-    return jnp.concatenate([yr.reshape(n, 1, b), yi.reshape(n, 1, b)],
-                           axis=1).reshape(n, 2 * b)
+    b2 = 2 * b
+    idx = np.asarray(plan.scatter_idx)
+    st = idx // bb
+    rem = idx - st * bb
+    r = rem // b
+    c = rem - r * b
+    base = st * (4 * bb)
+    return (base + r * b2 + c,                # +Re
+            base + (r + b) * b2 + (c + b),    # +Re
+            base + (r + b) * b2 + c,          # +Im
+            base + r * b2 + (c + b))          # -Im
 
 
 def _init_states(plan: SpluPlan, datas):
-    """Assemble entry values into padded block storage (planes layout for
-    complex). Returns (states, deltas, cplxs); each state is the scan
-    carry (blocks, log|det|, min|pivot|, n_perturbed, phase)."""
+    """Assemble entry values into padded block storage. COMPLEX matrices
+    are stored as their REAL EMBEDDING K = [[R,-I],[I,R]] per block
+    (2b x 2b row-major, flat width 4*b*b): K is closed under add /
+    multiply / inverse, so the complex elimination IS the real
+    elimination at block size 2b — one einsum per row on bigger (better
+    MXU-tiled) blocks instead of 4 plane einsums plus layout shuffles.
+    Returns (states, deltas, cplxs); each state is the scan carry
+    (blocks, log|det|, min|pivot|, n_perturbed, phase)."""
     b, nblk = plan.b, plan.nblk
     bb = b * b
     TL = plan.packed["TL"]
@@ -664,24 +636,33 @@ def _init_states(plan: SpluPlan, datas):
         data = jnp.asarray(data)
         cplx = jnp.iscomplexobj(data)
         cplxs.append(cplx)
-        sc_idx = jnp.asarray(plan.scatter_idx)
         if cplx:
             rdt = jnp.real(data).dtype
-            fr = jnp.zeros((nblk + TL) * bb, dtype=rdt)
-            fi = jnp.zeros((nblk + TL) * bb, dtype=rdt)
+            i_re1, i_re2, i_im1, i_im2 = _kform_indices(plan)
+            flat = jnp.zeros((nblk + TL) * 4 * bb, dtype=rdt)
             if len(plan.pad_idx):
-                fr = fr.at[jnp.asarray(plan.pad_idx)].set(1.0)
-            fr = fr.at[sc_idx].add(jnp.real(data))
-            fi = fi.at[sc_idx].add(jnp.imag(data))
-            blocks = jnp.concatenate(
-                [fr.reshape(-1, 1, bb), fi.reshape(-1, 1, bb)],
-                axis=1).reshape(nblk + TL, 2 * bb)
+                pidx = np.asarray(plan.pad_idx)
+                pst = pidx // bb
+                pl_ = (pidx - pst * bb) // b       # diagonal local index
+                pbase = pst * (4 * bb)
+                b2 = 2 * b
+                flat = flat.at[jnp.asarray(
+                    np.concatenate([pbase + pl_ * b2 + pl_,
+                                    pbase + (pl_ + b) * b2
+                                    + (pl_ + b)]))].set(1.0)
+            dre = jnp.real(data)
+            dim = jnp.imag(data)
+            flat = (flat.at[jnp.asarray(i_re1)].add(dre)
+                        .at[jnp.asarray(i_re2)].add(dre)
+                        .at[jnp.asarray(i_im1)].add(dim)
+                        .at[jnp.asarray(i_im2)].add(-dim))
+            blocks = flat.reshape(nblk + TL, 4 * bb)
         else:
             rdt = data.dtype
             flat = jnp.zeros((nblk + TL) * bb, dtype=rdt)
             if len(plan.pad_idx):
                 flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
-            flat = flat.at[sc_idx].add(data)
+            flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
             blocks = flat.reshape(nblk + TL, bb)
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
@@ -731,25 +712,24 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
         for (blocks, ld, mp, npert, ph), delta, cplx in zip(
                 sts, deltas, cplxs):
             width = blocks.shape[1]
+            # complex matrices live as their real embedding K=[[R,-I],
+            # [I,R]] (width 4*b*b): the elimination below is the REAL
+            # one at effective block size 2b (see _init_states)
+            be = 2 * b if cplx else b
             cur = lax.dynamic_slice(blocks, (t0, z0), (TL, width))
             if pallas_on:
                 acc = _pairs_pallas(blocks, x["pair_l"], x["pair_u"],
                                     x["pair_seg"], x["pair_first"],
-                                    TL, b, cplx, interpret=interpret)
+                                    TL, be, interpret=interpret)
                 vals = cur - acc
             else:
                 gl = blocks[x["pair_l"]]
                 gu = blocks[x["pair_u"]]
-                if cplx:
-                    # complex product via 4 REAL einsums (complex einsum
-                    # is also pathologically slow on this backend)
-                    pr = _cmul_planes(gl, gu, b)
-                else:
-                    Ls = gl.reshape(-1, b, b)
-                    Us = gu.reshape(-1, b, b)
-                    prod = jnp.einsum("cij,cjk->cik", Ls, Us,
-                                      preferred_element_type=Ls.dtype)
-                    pr = prod.reshape(-1, bb)
+                Ls = gl.reshape(-1, be, be)
+                Us = gu.reshape(-1, be, be)
+                prod = jnp.einsum("cij,cjk->cik", Ls, Us,
+                                  preferred_element_type=Ls.dtype)
+                pr = prod.reshape(-1, width)
                 summed = jax.ops.segment_sum(pr, x["pair_seg"],
                                              num_segments=TL + 1,
                                              indices_are_sorted=True)
@@ -763,60 +743,35 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
             # every scan row (per-row cost then scales with factor size)
             Dv_all = blocks[x["dinv"]]
 
-            if cplx:
-                def do_diag(ops):
-                    vals, _Dv = ops
-                    v = vals.reshape(TL, 2, b, b)
-                    R, I = v[:, 0], v[:, 1]
-                    top = jnp.concatenate([R, -I], axis=-1)
-                    bot = jnp.concatenate([I, R], axis=-1)
-                    K = jnp.concatenate([top, bot], axis=-2)
-                    # det K = |det M|^2: magnitude doubles, the complex
-                    # phase of det M is not recoverable here (phase
-                    # stays 1; see splu_factorize_multi docstring)
-                    Kinv, ldw, mpw, npw, _phw = _inv_block(K, delta)
-                    X = Kinv[:, :b, :b]
-                    Y = Kinv[:, b:, :b]
-                    newv = jnp.concatenate(
-                        [X.reshape(TL, 1, bb), Y.reshape(TL, 1, bb)],
-                        axis=1).reshape(TL, 2 * bb)
-                    ldd = jnp.sum(jnp.where(live, 0.5 * ldw, 0.0))
-                    mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
-                    npd = jnp.sum(jnp.where(live, npw,
-                                            0)).astype(jnp.int32)
-                    return newv, ldd, mpd, npd, jnp.ones((), ld.dtype)
-
-                def do_lpan(ops):
-                    vals, Dv = ops
-                    z = jnp.zeros((), ld.dtype)
-                    return (_cmul_planes(vals, Dv, b), z,
-                            jnp.asarray(jnp.inf, mp.dtype),
-                            jnp.zeros((), jnp.int32),
-                            jnp.ones((), ld.dtype))
-            else:
-                def do_diag(ops):
-                    vals, _Dv = ops
-                    Dinv, ldw, mpw, npw, phw = _inv_block(
-                        vals.reshape(TL, b, b), delta)
-                    ldd = jnp.sum(jnp.where(live, ldw, 0.0))
-                    mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
-                    npd = jnp.sum(jnp.where(live, npw,
-                                            0)).astype(jnp.int32)
+            def do_diag(ops):
+                vals, _Dv = ops
+                Dinv, ldw, mpw, npw, phw = _inv_block(
+                    vals.reshape(TL, be, be), delta)
+                # K embedding: det K = |det M|^2 -> halve log|det|; the
+                # complex phase of det M is not recoverable (phase 1)
+                ldd = jnp.sum(jnp.where(live, ldw, 0.0))
+                mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
+                npd = jnp.sum(jnp.where(live, npw,
+                                        0)).astype(jnp.int32)
+                if cplx:
+                    ldd = 0.5 * ldd
+                    phd = jnp.ones((), ld.dtype)
+                else:
                     phd = jnp.prod(jnp.where(live, phw,
                                              jnp.ones_like(phw)))
-                    return Dinv.reshape(TL, bb), ldd, mpd, npd, phd
+                return Dinv.reshape(TL, width), ldd, mpd, npd, phd
 
-                def do_lpan(ops):
-                    vals, Dv = ops
-                    Dv = Dv.reshape(TL, b, b)
-                    Lh = jnp.einsum("cij,cjk->cik",
-                                    vals.reshape(TL, b, b), Dv,
-                                    preferred_element_type=Dv.dtype)
-                    z = jnp.zeros((), ld.dtype)
-                    return (Lh.reshape(TL, bb), z,
-                            jnp.asarray(jnp.inf, mp.dtype),
-                            jnp.zeros((), jnp.int32),
-                            jnp.ones((), ld.dtype))
+            def do_lpan(ops):
+                vals, Dv = ops
+                Dv = Dv.reshape(TL, be, be)
+                Lh = jnp.einsum("cij,cjk->cik",
+                                vals.reshape(TL, be, be), Dv,
+                                preferred_element_type=Dv.dtype)
+                z = jnp.zeros((), ld.dtype)
+                return (Lh.reshape(TL, width), z,
+                        jnp.asarray(jnp.inf, mp.dtype),
+                        jnp.zeros((), jnp.int32),
+                        jnp.ones((), ld.dtype))
 
             def do_upan(ops):
                 vals, _Dv = ops
@@ -852,15 +807,17 @@ def splu_factorize_multi(plan: SpluPlan, datas):
     its contribution pairs, segment-sums them, post-processes one
     contiguous storage range, and writes back with dynamic_update_slice.
 
-    COMPLEX matrices are stored as REAL PLANES (nblk, 2*b*b): on this
-    TPU backend complex indexed ops (gather / dynamic_update_slice) are
-    four orders of magnitude slower than f32, while complex dense math
-    is fine — so all indexing runs on the planes and values convert to
-    complex only inside the row's einsums. Diagonal inversion uses the
-    [[R,-I],[I,R]] real embedding (log|det K| = 2 log|det M|); the
-    embedding yields |det M| but not its complex phase, so ``phase`` is
-    exact (±1, ICNTL(33)-style sign) for REAL matrices and 1 for
-    complex ones."""
+    COMPLEX matrices are stored block-wise as their REAL EMBEDDING
+    K = [[R,-I],[I,R]] (flat width 4*b*b): on this TPU backend complex
+    indexed ops (gather / dynamic_update_slice) are four orders of
+    magnitude slower than f32, and the earlier split-planes layout paid
+    4 small einsums plus layout shuffles per row — the K embedding is
+    closed under add/multiply/inverse, so the complex elimination IS
+    the real one at effective block size 2b (one bigger, better
+    MXU-tiled einsum per row). log|det K| = 2 log|det M|; the embedding
+    yields |det M| but not its complex phase, so ``phase`` is exact
+    (±1, ICNTL(33)-style sign) for REAL matrices and 1 for complex
+    ones."""
     states, deltas, cplxs = _init_states(plan, datas)
     xs = {k: jnp.asarray(plan.packed[k]) for k in
           ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
@@ -869,7 +826,7 @@ def splu_factorize_multi(plan: SpluPlan, datas):
     facs = []
     for (blocks, ld, mp, npert, ph), cplx in zip(out_states, cplxs):
         facs.append({
-            "blocks": blocks,            # planes layout iff complex
+            "blocks": blocks,            # K-embedding layout iff complex
             "logdet": ld,
             "phase": ph,
             "min_pivot": mp,
@@ -893,8 +850,9 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     """Solve SEVERAL systems (their own factors and right-hand sides, same
     sparsity plan) in ONE pass — the scan-step fixed costs are shared
     (Radau5 solves its real and complex Newton systems together).
-    Complex systems run on real planes end to end (see
-    splu_factorize_multi); only the per-row block math is complex."""
+    Complex systems run on the real K embedding end to end (see
+    splu_factorize_multi): the substitution is the real one at width
+    2b on stacked [re; im] vector blocks."""
     b, nb = plan.b, plan.nb
     bb = b * b
     perm = jnp.asarray(plan.perm)
@@ -905,11 +863,14 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     bps = []
     for fac, bvec in zip(facs, bvecs):
         bl = fac["blocks"]
-        cplx = bl.shape[1] == 2 * bb   # planes layout (shape is static)
+        cplx = bl.shape[1] == 4 * bb   # K-embedding layout (static shape)
         blks.append(bl)
         cplxs.append(cplx)
         bvec = jnp.asarray(bvec)
         if cplx:
+            # K = [[R,-I],[I,R]] acts on stacked [re; im] vector blocks:
+            # K @ [re; im] = [Re(Mx); Im(Mx)] — the complex substitution
+            # is the real one at width 2b
             rdt = bl.dtype
             bpr = jnp.zeros(nb * b, dtype=rdt).at[perm].set(
                 jnp.real(bvec).astype(rdt))
@@ -932,28 +893,19 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
         def row(vs, x):
             out = []
             for v, bl, rhs_rows, cplx in zip(vs, blks, rhs_list, cplxs):
-                if cplx:
-                    pr = _cmatvec_planes(bl[x["src"]], v[x["col"]], b)
-                    summed = jax.ops.segment_sum(
-                        pr, x["seg"],
-                        num_segments=Ucap + 1, indices_are_sorted=True)
-                    rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
-                    if apply_dinv:
-                        rr = _cmatvec_planes(bl[diag_g[x["tgt_g"]]], rr,
-                                             b)
-                else:
-                    S = bl[x["src"]].reshape(-1, b, b)
-                    vj = v[x["col"]]
-                    prod = jnp.einsum("cij,cj->ci", S, vj,
-                                      preferred_element_type=bl.dtype)
-                    summed = jax.ops.segment_sum(
-                        prod, x["seg"], num_segments=Ucap + 1,
-                        indices_are_sorted=True)
-                    rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
-                    if apply_dinv:
-                        Dv = bl[diag_g[x["tgt_g"]]].reshape(-1, b, b)
-                        rr = jnp.einsum("cij,cj->ci", Dv, rr,
-                                        preferred_element_type=bl.dtype)
+                be = 2 * b if cplx else b
+                S = bl[x["src"]].reshape(-1, be, be)
+                vj = v[x["col"]]
+                prod = jnp.einsum("cij,cj->ci", S, vj,
+                                  preferred_element_type=bl.dtype)
+                summed = jax.ops.segment_sum(
+                    prod, x["seg"], num_segments=Ucap + 1,
+                    indices_are_sorted=True)
+                rr = rhs_rows[x["tgt_g"]] - summed[:Ucap]
+                if apply_dinv:
+                    Dv = bl[diag_g[x["tgt_g"]]].reshape(-1, be, be)
+                    rr = jnp.einsum("cij,cj->ci", Dv, rr,
+                                    preferred_element_type=bl.dtype)
                 out.append(v.at[x["tgt_s"]].set(rr, mode="drop",
                                                 unique_indices=True))
             return tuple(out), None
