@@ -57,16 +57,15 @@ def dist_splu_factorize(mesh: Mesh, plan: SpluPlan, data, axis: str = "rows"):
     pair_l = pad_pairs(pk["pair_l"], 0)
     pair_u = pad_pairs(pk["pair_u"], 0)
     pair_seg = pad_pairs(pk["pair_seg"], TL)
-    pair_first = pad_pairs(pk["pair_first"], 0)
 
     states, deltas, cplxs = _init_states(plan, (data,))
     blocks0, ld0, mp0, np0, ph0 = states[0]
-    fixed = {k: np.asarray(pk[k]) for k in ("r_type", "t0", "len", "dinv")}
+    fixed = {k: np.asarray(pk[k]) for k in
+             ("t0", "len", "nd", "dinv", "dloc")}
 
-    def run(blocks, delta, pl_j, pu_j, ps_j, pf_j):
+    def run(blocks, delta, pl_j, pu_j, ps_j):
         xs = {k: jnp.asarray(v) for k, v in fixed.items()}
-        xs.update(pair_l=pl_j, pair_u=pu_j, pair_seg=ps_j,
-                  pair_first=pf_j)
+        xs.update(pair_l=pl_j, pair_u=pu_j, pair_seg=ps_j)
         st = ((blocks, ld0, mp0, np0, ph0),)
         (out,) = _scan_packed(plan, st, (delta,), cplxs, xs,
                               psum_axis=axis)
@@ -74,12 +73,11 @@ def dist_splu_factorize(mesh: Mesh, plan: SpluPlan, data, axis: str = "rows"):
 
     fn = shard_map(
         run, mesh=mesh,
-        in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis),
-                  P(None, axis)),
+        in_specs=(P(), P(), P(None, axis), P(None, axis), P(None, axis)),
         out_specs=(P(), P(), P(), P(), P()))
     blocks, ld, mp, npert, ph = fn(
         blocks0, deltas[0], jnp.asarray(pair_l), jnp.asarray(pair_u),
-        jnp.asarray(pair_seg), jnp.asarray(pair_first))
+        jnp.asarray(pair_seg))
     return {
         "blocks": blocks,
         "logdet": ld,

@@ -13,7 +13,8 @@ interface_umfpack.c. Design (SURVEY.md §7 step 4):
   diagonal inversions / L-panel GEMMs / segment-summed Schur updates,
   plus packed substitution schedules for the solves.
 - **numeric (device, jittable)**: one ``lax.scan`` over schedule rows
-  dispatched with ``lax.switch``; every hot op is a batched MXU GEMM.
+  with a single BRANCH-FREE row body (a whole elimination-tree level is
+  usually ONE row); every hot op is a batched MXU GEMM.
   Diagonal blocks are INVERTED (recursive Schur splitting down to a
   Gauss-Jordan base with MUMPS-style static pivot clamping — no XLA LU
   custom call, no pivot vectors); L panels become A_ik @ Dinv_k; Schur
@@ -39,13 +40,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from russell_tpu.sparse.ordering import mindeg_ordering, symmetrize_pattern
-
-import os as _os
-# perf-diagnostic only (see _scan_packed): 0/1/2 forces every scan row
-# through one branch without lax.switch
-_FORCE_TYPE = (int(_os.environ["RUSSELL_TPU_SPLU_FORCE_TYPE"])
-               if _os.environ.get("RUSSELL_TPU_SPLU_FORCE_TYPE")
-               else None)
 
 __all__ = ["SpluPlan", "splu_analyze", "splu_factorize",
            "splu_factorize_multi", "splu_solve", "splu_solve_multi"]
@@ -335,63 +329,84 @@ def _build_packed_left(nb, nblk, nlev, buckets, bsz, store, diag_idx,
     lcols = own_k[ord_st][lmask]
     dinv_of_storage[lstor] = diag_idx[lcols]
 
-    rows = []   # (type, t0, ln, pair_slice)
+    # ---- row emission -----------------------------------------------
+    # Row types: 0 = diag range (invert), 1 = panel range (merged L+U:
+    # L lanes multiply by the ALREADY-WRITTEN Dinv from block storage, U
+    # lanes by a dedicated IDENTITY block — one einsum serves both),
+    # 2 = MERGED level (diag + L + U in ONE row: the L lanes use the
+    # Dinv computed in-row, so a whole elimination-tree level costs one
+    # scan step). A level falls back to 0+1 rows only when it exceeds
+    # the TL/Ccap caps. Pair arrays carry NO dummy lanes (the XLA
+    # segment-sum path never needed them; the optional Pallas kernel
+    # augments lazily via _pallas_aug).
+    id_slot = nblk + TL          # identity block appended by _init_states
+    # diag lanes are a PREFIX of every row; capping them (NDcap << TL)
+    # bounds the per-row batched-inversion cost, which every row pays in
+    # the branch-free body
+    ND_EMIT = min(TL, 256)
+    rows = []   # (rtype, t0, ln, nd, p0, p1)
+
+    def emit(sec, s0, s1, cap):
+        pos = s0
+        while pos < s1:
+            ln = min(cap, s1 - pos)
+            p0 = pair_ptr[pos - 1] if pos > 1 else 0
+            # shrink ln so the pair count fits Ccap
+            while ln > 1 and (pair_ptr[pos + ln - 1] - p0) > Ccap:
+                ln -= 1
+            p1 = pair_ptr[pos + ln - 1]
+            rows.append((sec, pos, ln, ln if sec == 0 else 0, p0, p1))
+            pos += ln
+
     for t in range(nlev):
-        for sec in range(3):
-            s0 = int(sec_bounds[t * 3 + sec])
-            s1 = int(sec_bounds[t * 3 + sec + 1])
-            pos = s0
-            while pos < s1:
-                ln = min(TL, s1 - pos)
-                p0 = pair_ptr[pos - 1] if pos > 1 else 0
-                # shrink ln so the pair count fits Ccap
-                while ln > 1 and (pair_ptr[pos + ln - 1] - p0) > Ccap:
-                    ln -= 1
-                p1 = pair_ptr[pos + ln - 1]
-                rows.append((sec, pos, ln, p0, p1))
-                pos += ln
+        d0 = int(sec_bounds[t * 3])
+        d1 = int(sec_bounds[t * 3 + 1])
+        u1 = int(sec_bounds[t * 3 + 3])
+        total = u1 - d0
+        if total <= 0:
+            continue
+        nd = d1 - d0
+        p0 = pair_ptr[d0 - 1] if d0 > 1 else 0
+        p1 = pair_ptr[u1 - 1] if u1 > 1 else 0
+        if total <= TL and nd <= ND_EMIT and (p1 - p0) <= Ccap:
+            rows.append((2, d0, total, nd, p0, p1))
+        else:
+            emit(0, d0, d1, ND_EMIT)
+            emit(1, d1, u1, TL)
 
     nrows = max(len(rows), 1)
-    CP = Ccap + TL          # + one dummy per lane (kernel initialization)
+    NDcap = max(8, max((r[3] for r in rows), default=8))
     r_type = np.zeros(nrows, dtype=np.int32)
     r_t0 = np.zeros(nrows, dtype=np.int32)
     r_len = np.zeros(nrows, dtype=np.int32)
-    pair_l = np.zeros((nrows, CP), dtype=np.int32)
-    pair_u = np.zeros((nrows, CP), dtype=np.int32)
-    pair_seg = np.full((nrows, CP), TL, dtype=np.int32)
-    pair_first = np.zeros((nrows, CP), dtype=np.int32)
-    dinv_a = np.zeros((nrows, TL), dtype=np.int32)
-    lane_ar = np.arange(TL, dtype=np.int64)
-    for rr, (sec, t0, ln, p0, p1) in enumerate(rows):
+    r_nd = np.zeros(nrows, dtype=np.int32)
+    pair_l = np.zeros((nrows, Ccap), dtype=np.int32)
+    pair_u = np.zeros((nrows, Ccap), dtype=np.int32)
+    pair_seg = np.full((nrows, Ccap), TL, dtype=np.int32)
+    dinv_a = np.full((nrows, TL), id_slot, dtype=np.int32)
+    dloc_a = np.full((nrows, TL), NDcap, dtype=np.int32)
+    for rr, (sec, t0, ln, nd, p0, p1) in enumerate(rows):
         r_type[rr] = sec
         r_t0[rr] = t0
         r_len[rr] = ln
-        seg_real = t_glob[p0:p1] - t0
-        # one zero dummy pair per lane, FIRST within its lane run — the
-        # Pallas kernel uses it to initialize the output block
-        seg_all = np.concatenate([lane_ar, seg_real])
-        l_all2 = np.concatenate([np.zeros(TL, dtype=np.int64),
-                                 l_glob[p0:p1]])
-        u_all2 = np.concatenate([np.zeros(TL, dtype=np.int64),
-                                 u_glob[p0:p1]])
-        is_dummy = np.concatenate([np.ones(TL, dtype=np.int32),
-                                   np.zeros(p1 - p0, dtype=np.int32)])
-        o = np.argsort(seg_all, kind="stable")
-        npair = len(o)
-        pair_l[rr, :npair] = l_all2[o]
-        pair_u[rr, :npair] = u_all2[o]
-        pair_seg[rr, :npair] = seg_all[o]
-        pair_first[rr, :npair] = is_dummy[o]
+        r_nd[rr] = nd
+        npair = p1 - p0
+        pair_l[rr, :npair] = l_glob[p0:p1]
+        pair_u[rr, :npair] = u_glob[p0:p1]
+        pair_seg[rr, :npair] = t_glob[p0:p1] - t0
         if sec == 1:
-            dinv_a[rr, :ln] = dinv_of_storage[t0:t0 + ln]
-    # pad slots (beyond each row's npair) keep seg=TL (dropped by the
-    # XLA path) but must NOT write in the Pallas kernel: they alias the
-    # LAST lane's output block and must accumulate zero (l=u=0).
+            dv = dinv_of_storage[t0:t0 + ln]
+            dinv_a[rr, :ln] = np.where(dv > 0, dv, id_slot)
+        elif sec == 2:
+            dv = dinv_of_storage[t0:t0 + ln]
+            # in-row lane index of the freshly inverted diagonal (NDcap
+            # = identity lane for diag/U slots)
+            dloc_a[rr, :ln] = np.where(dv > 0, dv - t0, NDcap)
     return {
-        "r_type": r_type, "t0": r_t0, "len": r_len,
+        "r_type": r_type, "t0": r_t0, "len": r_len, "nd": r_nd,
         "pair_l": pair_l, "pair_u": pair_u, "pair_seg": pair_seg,
-        "pair_first": pair_first,
-        "dinv": dinv_a, "TL": TL, "Ccap": CP,
+        "dinv": dinv_a, "dloc": dloc_a, "TL": TL, "Ccap": Ccap,
+        "NDcap": NDcap,
     }
 
 
@@ -626,11 +641,15 @@ def _init_states(plan: SpluPlan, datas):
     multiply / inverse, so the complex elimination IS the real
     elimination at block size 2b — one einsum per row on bigger (better
     MXU-tiled) blocks instead of 4 plane einsums plus layout shuffles.
-    Returns (states, deltas, cplxs); each state is the scan carry
-    (blocks, log|det|, min|pivot|, n_perturbed, phase)."""
+    Storage row ``nblk + TL`` holds an IDENTITY block (``id_slot``): the
+    branch-free scan row multiplies every non-diagonal lane by a gathered
+    per-lane block, and U lanes point here. Returns (states, deltas,
+    cplxs); each state is the scan carry (blocks, log|det|, min|pivot|,
+    n_perturbed, phase)."""
     b, nblk = plan.b, plan.nblk
     bb = b * b
     TL = plan.packed["TL"]
+    nrow_store = nblk + TL + 1
     states, deltas, cplxs = [], [], []
     for data in datas:
         data = jnp.asarray(data)
@@ -639,13 +658,15 @@ def _init_states(plan: SpluPlan, datas):
         if cplx:
             rdt = jnp.real(data).dtype
             i_re1, i_re2, i_im1, i_im2 = _kform_indices(plan)
-            flat = jnp.zeros((nblk + TL) * 4 * bb, dtype=rdt)
+            flat = jnp.zeros(nrow_store * 4 * bb, dtype=rdt)
+            b2 = 2 * b
+            ide = (nblk + TL) * 4 * bb + np.arange(b2) * b2 + np.arange(b2)
+            flat = flat.at[jnp.asarray(ide)].set(1.0)
             if len(plan.pad_idx):
                 pidx = np.asarray(plan.pad_idx)
                 pst = pidx // bb
                 pl_ = (pidx - pst * bb) // b       # diagonal local index
                 pbase = pst * (4 * bb)
-                b2 = 2 * b
                 flat = flat.at[jnp.asarray(
                     np.concatenate([pbase + pl_ * b2 + pl_,
                                     pbase + (pl_ + b) * b2
@@ -656,14 +677,16 @@ def _init_states(plan: SpluPlan, datas):
                         .at[jnp.asarray(i_re2)].add(dre)
                         .at[jnp.asarray(i_im1)].add(dim)
                         .at[jnp.asarray(i_im2)].add(-dim))
-            blocks = flat.reshape(nblk + TL, 4 * bb)
+            blocks = flat.reshape(nrow_store, 4 * bb)
         else:
             rdt = data.dtype
-            flat = jnp.zeros((nblk + TL) * bb, dtype=rdt)
+            flat = jnp.zeros(nrow_store * bb, dtype=rdt)
+            ide = (nblk + TL) * bb + np.arange(b) * b + np.arange(b)
+            flat = flat.at[jnp.asarray(ide)].set(1.0)
             if len(plan.pad_idx):
                 flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
             flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
-            blocks = flat.reshape(nblk + TL, bb)
+            blocks = flat.reshape(nrow_store, bb)
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
                        jnp.asarray(jnp.inf, rdt),
@@ -674,29 +697,65 @@ def _init_states(plan: SpluPlan, datas):
 
 def _pallas_mode():
     """(enabled, interpret) for the pair-contraction Pallas kernel.
-    Auto: on iff running on a real TPU. Forcing it on elsewhere
-    (RUSSELL_TPU_SPLU_PALLAS=1) runs the kernel in interpret mode so CPU
-    CI exercises the same code path."""
+    Default OFF: on this TPU the XLA gather + segment-sum path beats the
+    per-pair DMA kernel (measured on the brusselator schedules), so the
+    kernel is opt-in via RUSSELL_TPU_SPLU_PALLAS=1 — which runs it in
+    interpret mode off-TPU so CPU CI exercises the same code path."""
     import os as _os
-    use_pallas = _os.environ.get("RUSSELL_TPU_SPLU_PALLAS", "auto")
-    on_tpu = jax.default_backend() == "tpu"
-    if use_pallas == "auto":
-        return on_tpu, False
-    on = use_pallas not in ("0", "off", "false")
-    return on, on and not on_tpu
+    use_pallas = _os.environ.get("RUSSELL_TPU_SPLU_PALLAS", "0")
+    on = use_pallas not in ("0", "off", "false", "auto")
+    return on, on and jax.default_backend() != "tpu"
+
+
+def _pallas_aug(packed):
+    """Pallas-kernel view of the pair schedule: the kernel initializes
+    each output block at its segment's FIRST pair, so every lane gets one
+    zero dummy pair (l = u = 0 -> scratch block, zero product) merged in
+    segment order. Built lazily (numpy) and cached on the plan dict —
+    the XLA segment-sum path never needs the dummies."""
+    cached = packed.get("_aug")
+    if cached is None:
+        TL = packed["TL"]
+        pl0, pu0, ps0 = (packed["pair_l"], packed["pair_u"],
+                         packed["pair_seg"])
+        nrows, C = pl0.shape
+        lane = np.tile(np.arange(TL, dtype=np.int32), (nrows, 1))
+        zs = np.zeros((nrows, TL), dtype=np.int32)
+        seg_all = np.concatenate([lane, ps0], axis=1)
+        l_all = np.concatenate([zs, pl0], axis=1)
+        u_all = np.concatenate([zs, pu0], axis=1)
+        first = np.concatenate(
+            [np.ones((nrows, TL), dtype=np.int32),
+             np.zeros((nrows, C), dtype=np.int32)], axis=1)
+        o = np.argsort(seg_all, axis=1, kind="stable")
+        take = np.take_along_axis
+        cached = {"pair_l": take(l_all, o, 1), "pair_u": take(u_all, o, 1),
+                  "pair_seg": take(seg_all, o, 1),
+                  "pair_first": take(first, o, 1)}
+        packed["_aug"] = cached
+    return cached
 
 
 def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                  psum_axis=None):
     """Run the packed left-looking elimination scan over schedule rows
-    ``xs``. With ``psum_axis`` (inside shard_map) the pair arrays are the
+    ``xs`` with ONE BRANCH-FREE row body: subtract the segment-summed
+    contributions, invert the (prefix) diag lanes, and right-multiply
+    every other lane by a per-lane gathered block — the freshly inverted
+    in-row diagonal for L lanes of MERGED rows (``dloc``), the
+    already-stored Dinv for L lanes of split panel rows (``dinv``), and
+    the identity slot for U/diag lanes. No ``lax.switch``: a switch
+    closing over (or fed) the factor array made XLA layout-copy it every
+    scan row, so the per-row cost scaled with the factor size.
+
+    With ``psum_axis`` (inside shard_map) the pair arrays are the
     per-device slices of the contribution pairs and the segment sums are
     psum-combined — a TRUE sum split over devices, numerically the
     single-chip sum up to float reassociation (safe in f32, unlike
     delta-add combines). Returns the final carries."""
     b = plan.b
-    bb = b * b
     TL = plan.packed["TL"]
+    NDcap = plan.packed["NDcap"]
     pallas_on, interpret = _pallas_mode()
     if psum_axis is not None:
         # the accumulate kernel's per-lane dummy pairs assume the full
@@ -706,6 +765,7 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
     def row_step(sts, x):
         lane = jnp.arange(TL, dtype=jnp.int32)
         live = lane < x["len"]
+        is_d = lane < x["nd"]            # diag lanes are a row PREFIX
         t0 = x["t0"]
         z0 = jnp.zeros((), dtype=t0.dtype)
         out_states = []
@@ -737,61 +797,37 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                     summed = lax.psum(summed, psum_axis)
                 vals = cur - summed[:TL]
 
-            # hoist the Dinv gather OUT of the switch branches: a branch
-            # closing over ``blocks`` lifts the whole factor array into
-            # the conditional as an operand, and XLA layout-copies it
-            # every scan row (per-row cost then scales with factor size)
-            Dv_all = blocks[x["dinv"]]
-
-            def do_diag(ops):
-                vals, _Dv = ops
-                Dinv, ldw, mpw, npw, phw = _inv_block(
-                    vals.reshape(TL, be, be), delta)
-                # K embedding: det K = |det M|^2 -> halve log|det|; the
-                # complex phase of det M is not recoverable (phase 1)
-                ldd = jnp.sum(jnp.where(live, ldw, 0.0))
-                mpd = jnp.min(jnp.where(live, mpw, jnp.inf))
-                npd = jnp.sum(jnp.where(live, npw,
-                                        0)).astype(jnp.int32)
-                if cplx:
-                    ldd = 0.5 * ldd
-                    phd = jnp.ones((), ld.dtype)
-                else:
-                    phd = jnp.prod(jnp.where(live, phw,
-                                             jnp.ones_like(phw)))
-                return Dinv.reshape(TL, width), ldd, mpd, npd, phd
-
-            def do_lpan(ops):
-                vals, Dv = ops
-                Dv = Dv.reshape(TL, be, be)
-                Lh = jnp.einsum("cij,cjk->cik",
-                                vals.reshape(TL, be, be), Dv,
-                                preferred_element_type=Dv.dtype)
-                z = jnp.zeros((), ld.dtype)
-                return (Lh.reshape(TL, width), z,
-                        jnp.asarray(jnp.inf, mp.dtype),
-                        jnp.zeros((), jnp.int32),
-                        jnp.ones((), ld.dtype))
-
-            def do_upan(ops):
-                vals, _Dv = ops
-                z = jnp.zeros((), ld.dtype)
-                return (vals, z, jnp.asarray(jnp.inf, mp.dtype),
-                        jnp.zeros((), jnp.int32), jnp.ones((), ld.dtype))
-
-            if _FORCE_TYPE is not None:
-                # perf-diagnostic knob: bypass lax.switch entirely and run
-                # ONE row type for every row (results are wrong; timing
-                # isolates the conditional's cost)
-                newv, ldd, mpd, npd, phd = (
-                    [do_diag, do_lpan, do_upan][_FORCE_TYPE](
-                        (vals, Dv_all)))
-            else:
-                newv, ldd, mpd, npd, phd = lax.switch(
-                    x["r_type"], [do_diag, do_lpan, do_upan],
-                    (vals, Dv_all))
+            v3 = vals.reshape(TL, be, be)
+            eye = jnp.eye(be, dtype=blocks.dtype)
+            # invert the diag prefix (identity in dead lanes keeps the
+            # batch well-conditioned; their stats are masked out)
+            Db = jnp.where(is_d[:NDcap, None, None], v3[:NDcap], eye)
+            Dinv, ldw, mpw, npw, phw = _inv_block(Db, delta)
+            # per-lane right-multiplier: fresh in-row inverse (merged
+            # rows), stored Dinv, or the identity slot
+            Dtab = jnp.concatenate([Dinv, eye[None]], axis=0)
+            Dl = Dtab[x["dloc"]]
+            Dg = blocks[x["dinv"]].reshape(TL, be, be)
+            Dv = jnp.where((x["dloc"] < NDcap)[:, None, None], Dl, Dg)
+            pan = jnp.einsum("cij,cjk->cik", v3, Dv,
+                             preferred_element_type=v3.dtype)
+            head = jnp.where(is_d[:NDcap, None, None], Dinv, pan[:NDcap])
+            newv = jnp.concatenate([head, pan[NDcap:]],
+                                   axis=0).reshape(TL, width)
             outv = jnp.where(live[:, None], newv, cur)
             blocks = lax.dynamic_update_slice(blocks, outv, (t0, z0))
+
+            md = is_d[:NDcap]
+            ldd = jnp.sum(jnp.where(md, ldw, 0.0))
+            mpd = jnp.min(jnp.where(md, mpw, jnp.inf))
+            npd = jnp.sum(jnp.where(md, npw, 0)).astype(jnp.int32)
+            if cplx:
+                # K embedding: det K = |det M|^2 -> halve log|det|; the
+                # complex phase of det M is not recoverable (phase 1)
+                ldd = 0.5 * ldd
+                phd = jnp.ones((), ld.dtype)
+            else:
+                phd = jnp.prod(jnp.where(md, phw, jnp.ones_like(phw)))
             out_states.append((blocks, ld + ldd, jnp.minimum(mp, mpd),
                                npert + npd, ph * phd))
         return tuple(out_states), None
@@ -820,8 +856,13 @@ def splu_factorize_multi(plan: SpluPlan, datas):
     ones."""
     states, deltas, cplxs = _init_states(plan, datas)
     xs = {k: jnp.asarray(plan.packed[k]) for k in
-          ("r_type", "t0", "len", "pair_l", "pair_u", "pair_seg",
-           "pair_first", "dinv")}
+          ("t0", "len", "nd", "dinv", "dloc")}
+    if _pallas_mode()[0]:
+        xs.update({k: jnp.asarray(v)
+                   for k, v in _pallas_aug(plan.packed).items()})
+    else:
+        xs.update({k: jnp.asarray(plan.packed[k]) for k in
+                   ("pair_l", "pair_u", "pair_seg")})
     out_states = _scan_packed(plan, states, deltas, cplxs, xs)
     facs = []
     for (blocks, ld, mp, npert, ph), cplx in zip(out_states, cplxs):
