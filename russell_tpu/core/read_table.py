@@ -44,14 +44,23 @@ def read_data(path: str) -> np.ndarray:
 
 
 def read_table(path: str, labels=None) -> dict:
-    """Read a table whose first non-comment line holds column labels
-    (unless ``labels`` is given); returns {label: np.ndarray column}."""
+    """Read a table whose first non-comment line holds the column labels;
+    returns {label: np.ndarray column}. When ``labels`` is given, the
+    header is VALIDATED against it (read_table.rs:156-166 semantics)."""
     lines = list(_data_lines(path))
+    if not lines:
+        raise ValueError("file has no header line")
+    header = lines[0].split()
+    lines = lines[1:]
     if labels is None:
-        if not lines:
-            raise ValueError("file has no header line")
-        labels = lines[0].split()
-        lines = lines[1:]
+        if len(set(header)) != len(header):
+            raise ValueError("found duplicate column label")
+        labels = header
+    else:
+        if len(header) > len(labels):
+            raise ValueError("there are more columns than labels")
+        if list(header) != list(labels):
+            raise ValueError("column data is missing")
     cols = {lab: [] for lab in labels}
     for line in lines:
         parts = line.split()

@@ -120,9 +120,13 @@ def elliptic_f(phi, m):
     m = jnp.asarray(m, dtype=jnp.result_type(float))
     s = jnp.sin(phi)
     c2 = jnp.cos(phi) ** 2
-    q = 1.0 - m * s * s
-    out = s * carlson_rf(c2, q, jnp.ones_like(q))
-    bad = (phi < 0) | (phi > np.pi / 2 + 1e-14) | (m * s * s > 1.0)
+    mss = m * s * s
+    q = 1.0 - mss
+    out = s * carlson_rf(c2, jnp.maximum(q, 1e-300), jnp.ones_like(q))
+    eps = np.finfo(np.float64).eps
+    # m sin²φ == 1: F diverges (elliptic.rs:72-74 contract)
+    out = jnp.where(jnp.abs(mss - 1.0) < 10 * eps, jnp.inf, out)
+    bad = (phi < 0) | (phi > np.pi / 2 + 1e-14) | (mss > 1.0 + 10 * eps)
     return jnp.where(bad, jnp.nan, out)
 
 
@@ -151,11 +155,17 @@ def elliptic_pi(n, phi, m):
     m = jnp.asarray(m, dtype=jnp.result_type(float))
     s = jnp.sin(phi)
     c2 = jnp.cos(phi) ** 2
-    q = 1.0 - m * s * s
+    mss = m * s * s
+    q = 1.0 - mss
     ns2 = n * s * s
-    out = s * (carlson_rf(c2, q, 1.0)
-               + (ns2 / 3.0 / jnp.maximum(1e-300, 1.0))
-               * carlson_rj(c2, q, jnp.ones_like(q),
+    out = s * (carlson_rf(c2, jnp.maximum(q, 1e-300), 1.0)
+               + (ns2 / 3.0)
+               * carlson_rj(c2, jnp.maximum(q, 1e-300), jnp.ones_like(q),
                             jnp.maximum(1.0 - ns2, 1e-300)))
-    bad = (phi < 0) | (phi > np.pi / 2 + 1e-14) | (m * s * s > 1.0) | (ns2 >= 1.0)
-    return jnp.where(bad, jnp.nan, out)
+    eps = np.finfo(np.float64).eps
+    # m sin²φ == 1 or n sin²φ == 1: Π diverges (elliptic.rs:222-228)
+    sing = (jnp.abs(mss - 1.0) < 10 * eps) | (jnp.abs(ns2 - 1.0) < 10 * eps)
+    out = jnp.where(sing, jnp.inf, out)
+    bad = ((phi < 0) | (phi > np.pi / 2 + 1e-14)
+           | (mss > 1.0 + 10 * eps) | (ns2 > 1.0 + 10 * eps))
+    return jnp.where(bad & ~sing, jnp.nan, out)
