@@ -34,6 +34,7 @@ __all__ = [
     "rectangular_1x2", "rectangular_1x7", "rectangular_7x1", "rectangular_3x4",
     "complex_rectangular_4x3",
     "bfwb62_path",
+    "laplacian_2d", "laplacian_3d",
 ]
 
 
@@ -264,5 +265,34 @@ def laplacian_2d(npoint: int, kx: float = 1.0, ky: float = 1.0) -> CooMatrix:
     ii.append(idx[south]); jj.append(idx[south] - npoint); vv.append(np.full(south.sum(), -cy))
     north = i < npoint - 1
     ii.append(idx[north]); jj.append(idx[north] + npoint); vv.append(np.full(north.sum(), -cy))
+    return CooMatrix.from_arrays(
+        n, n, np.concatenate(ii), np.concatenate(jj), np.concatenate(vv))
+
+
+def laplacian_3d(npoint: int, conv: float = 0.0) -> CooMatrix:
+    """7-point negative Laplacian on an npoint³ unit-cube grid, optionally
+    with a first-order convection term (``conv`` > 0 makes the operator
+    UNSYMMETRIC via one-sided differences) — the FEM/FDM-class large
+    benchmark generator (stands in for the reference's SuiteSparse
+    headliners, data/logs/ASIC_680k_MUMPS.json et al., which are not
+    redistributable). Assembled vectorized for npoint³ ~ 10⁶."""
+    n = npoint ** 3
+    h = 1.0 / (npoint - 1) if npoint > 1 else 1.0
+    c = 1.0 / (h * h)
+    cv = conv / h
+    idx = np.arange(n, dtype=np.int64)
+    k = idx % npoint
+    j = (idx // npoint) % npoint
+    i = idx // (npoint * npoint)
+    ii = [idx]
+    jj = [idx]
+    vv = [np.full(n, 6.0 * c + 3.0 * cv)]
+    for coord, stride in ((k, 1), (j, npoint), (i, npoint * npoint)):
+        lo = coord > 0
+        ii.append(idx[lo]); jj.append(idx[lo] - stride)
+        vv.append(np.full(int(lo.sum()), -c - cv))
+        hi = coord < npoint - 1
+        ii.append(idx[hi]); jj.append(idx[hi] + stride)
+        vv.append(np.full(int(hi.sum()), -c))
     return CooMatrix.from_arrays(
         n, n, np.concatenate(ii), np.concatenate(jj), np.concatenate(vv))

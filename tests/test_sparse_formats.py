@@ -221,3 +221,33 @@ def test_spgemm_block_product():
             Cd[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] += np.asarray(C[q])
         np.testing.assert_allclose(Cd[:coo.nrow, :coo.ncol], A @ A,
                                    atol=1e-11)
+
+
+def test_laplacian_3d_generator():
+    """7-point 3-D Laplacian generator (the large-benchmark operator,
+    tools/bench_matrix_market.py): structure, symmetry, row sums, and a
+    small SPLU solve against dense."""
+    from russell_tpu.sparse import samples
+    from russell_tpu.sparse import splu as _splu
+    import jax.numpy as jnp
+
+    coo = samples.laplacian_3d(4)
+    n = 64
+    assert coo.nrow == n
+    A = np.asarray(coo.as_dense())
+    np.testing.assert_allclose(A, A.T)              # symmetric when conv=0
+    h2 = (1.0 / 3.0) ** 2
+    assert A[0, 0] == 6.0 / h2
+    # unsymmetric with convection
+    coo_c = samples.laplacian_3d(4, conv=0.5)
+    Ac = np.asarray(coo_c.as_dense())
+    assert np.max(np.abs(Ac - Ac.T)) > 0
+    # solve both through SPLU vs dense
+    rng = np.random.default_rng(5)
+    for mat, dense in ((coo, A), (coo_c, Ac)):
+        ii, jj, vv = map(np.asarray, mat.triplets())
+        plan = _splu.splu_analyze(n, ii, jj, block_size=8, ordering="nd")
+        fac = _splu.splu_factorize(plan, jnp.asarray(vv))
+        b = rng.normal(size=n)
+        x = np.asarray(_splu.splu_solve(plan, fac, jnp.asarray(b)))
+        assert np.max(np.abs(dense @ x - b)) < 1e-8 * np.max(np.abs(b))

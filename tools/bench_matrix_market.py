@@ -1,0 +1,154 @@
+"""Matrix Market / large-matrix solver benchmark suite.
+
+Mirrors the reference's headline sparse-solver artifacts
+(russell_sparse/data/logs/ASIC_680k_MUMPS.json, Raj1, inline_1,
+pres-cylin-3d: read -> factorize -> solve -> VerifyLinSys with
+relative_error <= 1e-10, recorded as one StatsLinSol JSON per matrix).
+The reference's SuiteSparse matrices are not redistributable, so the
+large cases are generated FEM/FDM-class operators (2-D/3-D Laplacians
+and an unsymmetric convection-diffusion) at 10^5..10^6 rows.
+
+Every case runs in its OWN SUBPROCESS: a TPU worker crash or OOM kills
+only that case, which is recorded as an honest failure in the summary.
+
+Usage:
+    python tools/bench_matrix_market.py             # run all, write logs
+    python tools/bench_matrix_market.py --case NAME # one case (worker)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+LOGS = os.path.join(ROOT, "data", "logs")
+
+import numpy as np
+
+# name -> (builder expression, genie, per-case timeout seconds)
+CASES = {
+    "bfwb62": ("mtx:/root/reference/russell_sparse/data/matrix_market/"
+               "bfwb62.mtx", "splu", 600),
+    "laplacian_2d_317": ("laplacian_2d:317", "splu", 1800),
+    "laplacian_2d_1000": ("laplacian_2d:1000", "splu", 3600),
+    "laplacian_3d_50": ("laplacian_3d:50", "splu", 1800),
+    "laplacian_3d_64": ("laplacian_3d:64", "splu", 3600),
+    "conv_diff_3d_50": ("laplacian_3d:50:0.5", "splu", 1800),
+}
+
+
+def _build(spec):
+    from russell_tpu.sparse import read_matrix_market, samples
+    kind, _, rest = spec.partition(":")
+    if kind == "mtx":
+        coo, _ = read_matrix_market(rest)
+        return coo
+    parts = rest.split(":")
+    npoint = int(parts[0])
+    if kind == "laplacian_2d":
+        return samples.laplacian_2d(npoint)
+    conv = float(parts[1]) if len(parts) > 1 else 0.0
+    return samples.laplacian_3d(npoint, conv=conv)
+
+
+def run_case(name: str) -> int:
+    import jax
+    plat = os.environ.get("RUSSELL_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    # x64 ON: the refinement stage runs in f64 (factors stay f32 via
+    # SolvePlan.mixed32 on backends without f64 LU) — required to reach
+    # the reference's relative_error <= 1e-10 bar
+    jax.config.update("jax_enable_x64", True)
+    os.makedirs(os.path.join(ROOT, ".jax_cache"), exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from russell_tpu.sparse import (Genie, LinSolParams, LinSolver,
+                                    VerifyLinSys)
+
+    spec, genie, _tmo = CASES[name]
+    t0 = time.perf_counter_ns()
+    coo = _build(spec)
+    t_read = time.perf_counter_ns() - t0
+
+    solver = LinSolver(Genie.from_name(genie))
+    solver.factorize(coo, LinSolParams())
+    rhs = np.ones(coo.nrow, dtype=np.asarray(coo.values).dtype)
+    x = solver.solve(rhs)
+    verify = VerifyLinSys.from_system(coo, x, rhs)
+
+    st = solver.stats
+    st.matrix["name"] = name
+    st.matrix.update(nrow=coo.nrow, ncol=coo.ncol, nnz=int(coo.nnz))
+    st.time_nanoseconds["read_matrix"] = t_read
+    st.verify = {
+        "max_abs_a": verify.max_abs_a,
+        "max_abs_ax": verify.max_abs_ax,
+        "max_abs_diff": verify.max_abs_diff,
+        "relative_error": verify.relative_error,
+    }
+    os.makedirs(LOGS, exist_ok=True)
+    out = os.path.join(LOGS, f"{name}_SPLU.json")
+    with open(out, "w") as fh:
+        fh.write(st.get_json())
+    print(f"{name}: rel_err={verify.relative_error:.3e} "
+          f"factorize={st.time_nanoseconds['factorize']/1e9:.3f}s "
+          f"solve={st.time_nanoseconds['solve']/1e9:.3f}s -> {out}")
+    if not (verify.relative_error <= 1e-10):
+        print(f"{name}: relative_error above 1e-10 bar", file=sys.stderr)
+        return 2
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--case", help="run one case in-process (worker mode)")
+    ap.add_argument("--only", nargs="*", help="subset of case names")
+    args = ap.parse_args()
+    if args.case:
+        return run_case(args.case)
+
+    os.makedirs(LOGS, exist_ok=True)
+    summary = {}
+    for name, (_spec, _genie, tmo) in CASES.items():
+        if args.only and name not in args.only:
+            continue
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--case", name],
+                timeout=tmo, cwd=ROOT)
+            code = r.returncode
+        except subprocess.TimeoutExpired:
+            code = -1
+        wall = time.time() - t0
+        if code == 0:
+            with open(os.path.join(LOGS, f"{name}_SPLU.json")) as fh:
+                rec = json.load(fh)
+            summary[name] = {
+                "ok": True,
+                "nrow": rec["matrix"]["nrow"],
+                "nnz": rec["matrix"]["nnz"],
+                "relative_error": rec["verify"]["relative_error"],
+                "factorize_s": rec["time_nanoseconds"]["factorize"] / 1e9,
+                "solve_s": rec["time_nanoseconds"]["solve"] / 1e9,
+                "wall_s": wall,
+            }
+        else:
+            summary[name] = {"ok": False, "exit": code, "wall_s": wall}
+        print(f"== {name}: {summary[name]}", flush=True)
+    with open(os.path.join(LOGS, "summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=2)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
