@@ -614,6 +614,80 @@ def _pairs_pallas(blocks, pl_idx, pu_idx, seg, first, TL, be,
     return out.reshape(TL, be * be)
 
 
+def _gather_mode():
+    """(enabled, interpret) for the Pallas row-gather kernel (DMA-issued
+    block gathers). Measured on the attached v5e: XLA's row gather costs
+    ~300 ns per 4 KB row (the factorize scan is gather-count bound), but
+    one-block-per-DMA issue costs ~780 ns regardless of loop unrolling —
+    the DMA descriptor + semaphore machinery dominates — so the kernel
+    LOSES to XLA's gather and stays opt-in (RUSSELL_TPU_SPLU_GATHER =
+    pallas | xla; default xla). "pallas" off-TPU runs in interpret mode
+    so CPU CI exercises the kernel."""
+    import os as _os
+    mode = _os.environ.get("RUSSELL_TPU_SPLU_GATHER", "xla")
+    if mode in ("xla", "auto"):
+        return False, False
+    return True, jax.default_backend() != "tpu"
+
+
+def _gather_rows(blocks, idx, interpret=False):
+    """``blocks[idx]`` via a Pallas kernel: one async DMA per gathered
+    row, issued in chunks of P with a single completion semaphore
+    (issue-all / wait-all — the copies overlap each other, and Pallas
+    pipelines the output block write-back across grid steps). Rows are
+    viewed as (8, W/8) tiles — a free relayout of the row-major storage
+    — because Mosaic requires HBM slices 8-row aligned; hence W must be
+    a multiple of 1024 (callers guard). ``idx`` length must be a
+    multiple of the chunk; schedule widths are powers of two so the
+    factorize scan needs no runtime padding."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    W = blocks.shape[1]
+    C = idx.shape[0]
+    P = 128 if W > 4096 else 256
+    while C % P:
+        P //= 2
+    grid = C // P
+    b8 = blocks.reshape(blocks.shape[0], 8, W // 8)
+
+    def kernel(idx_ref, blocks_ref, out_ref, sem):
+        i = pl.program_id(0)
+
+        def dma(k):
+            return pltpu.make_async_copy(
+                blocks_ref.at[idx_ref[i * P + k]], out_ref.at[k], sem)
+
+        def issue(k, _):
+            dma(k).start()
+            return _
+
+        def wait(k, _):
+            dma(k).wait()
+            return _
+
+        # FULL unroll (Mosaic supports only unroll=1 or =num_steps):
+        # straight-line DMA issues — the dynamic loop's per-iteration
+        # scalar-core overhead (~700ns) would dominate the copies
+        lax.fori_loop(0, P, issue, None, unroll=P)
+        lax.fori_loop(0, P, wait, None, unroll=P)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((P, 8, W // 8), lambda i, idx_: (i, 0, 0)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, 8, W // 8), blocks.dtype),
+        interpret=interpret,
+    )(idx.astype(jnp.int32), b8)
+    return out.reshape(C, W)
+
+
 def _kform_indices(plan: SpluPlan):
     """Map each entry's real-layout position (st*b*b + r*b + c) to its
     FOUR positions in the [[R,-I],[I,R]] real-embedding block (2b x 2b,
@@ -757,10 +831,16 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
     TL = plan.packed["TL"]
     NDcap = plan.packed["NDcap"]
     pallas_on, interpret = _pallas_mode()
+    gather_on, g_interp = _gather_mode()
     if psum_axis is not None:
         # the accumulate kernel's per-lane dummy pairs assume the full
         # pair set on one device; the sharded path uses segment_sum+psum
         pallas_on = False
+    C = plan.packed["pair_l"].shape[1]
+    # the DMA gather needs 8-row-aligned (8, W/8) tiles and chunked
+    # index lists (see _gather_rows)
+    if gather_on and (C % 64 or TL % 64 or (b * b) % 1024):
+        gather_on = False
 
     def row_step(sts, x):
         lane = jnp.arange(TL, dtype=jnp.int32)
@@ -782,9 +862,21 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
                                     x["pair_seg"], x["pair_first"],
                                     TL, be, interpret=interpret)
                 vals = cur - acc
+                gd = blocks[x["dinv"]]
             else:
-                gl = blocks[x["pair_l"]]
-                gu = blocks[x["pair_u"]]
+                if gather_on:
+                    # ONE DMA-gather per state per row: pair operands
+                    # plus the per-lane Dinv multipliers (``dinv``)
+                    gall = _gather_rows(
+                        blocks,
+                        jnp.concatenate([x["pair_l"], x["pair_u"],
+                                         x["dinv"]]),
+                        interpret=g_interp)
+                    gl, gu, gd = gall[:C], gall[C:2 * C], gall[2 * C:]
+                else:
+                    gl = blocks[x["pair_l"]]
+                    gu = blocks[x["pair_u"]]
+                    gd = blocks[x["dinv"]]
                 Ls = gl.reshape(-1, be, be)
                 Us = gu.reshape(-1, be, be)
                 prod = jnp.einsum("cij,cjk->cik", Ls, Us,
@@ -807,7 +899,7 @@ def _scan_packed(plan: SpluPlan, states, deltas, cplxs, xs,
             # rows), stored Dinv, or the identity slot
             Dtab = jnp.concatenate([Dinv, eye[None]], axis=0)
             Dl = Dtab[x["dloc"]]
-            Dg = blocks[x["dinv"]].reshape(TL, be, be)
+            Dg = gd.reshape(TL, be, be)
             Dv = jnp.where((x["dloc"] < NDcap)[:, None, None], Dl, Dg)
             pan = jnp.einsum("cij,cjk->cik", v3, Dv,
                              preferred_element_type=v3.dtype)

@@ -524,6 +524,38 @@ def test_splu_pallas_interpret_parity(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_splu_gather_kernel_interpret_parity(monkeypatch):
+    # force the Pallas DMA row-gather kernel (the TPU factorize scan's
+    # gather path — XLA row gathers cost ~300ns each there) in interpret
+    # mode on CPU; must be bit-identical to the XLA gather path for both
+    # the real layout and the complex K-embedding
+    import jax.numpy as jnp
+    from russell_tpu.sparse import splu as _splu
+
+    coo = samples.laplacian_2d(12)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    plan = _splu.splu_analyze(coo.nrow, ii, jj, block_size=32)
+    pk = plan.packed
+    assert pk["pair_l"].shape[1] % 64 == 0 and pk["TL"] % 64 == 0
+    vv32 = np.asarray(vv, dtype=np.float32)
+    vc = (vv32 + 0.25j * vv32).astype(np.complex64)
+    monkeypatch.setenv("RUSSELL_TPU_SPLU_GATHER", "xla")
+    fr_x, fc_x = _splu.splu_factorize_multi(plan, (vv32, vc))
+    monkeypatch.setenv("RUSSELL_TPU_SPLU_GATHER", "pallas")
+    assert _splu._gather_mode() == (True, True)   # interpret off-TPU
+    fr_p, fc_p = _splu.splu_factorize_multi(plan, (vv32, vc))
+    for a, b in ((fr_x, fr_p), (fc_x, fc_p)):
+        np.testing.assert_array_equal(np.asarray(a["blocks"]),
+                                      np.asarray(b["blocks"]))
+        np.testing.assert_array_equal(np.asarray(a["logdet"]),
+                                      np.asarray(b["logdet"]))
+    # solve through the gathered factors stays correct
+    x = _splu.splu_solve(plan, fr_p, np.ones(coo.nrow, np.float32))
+    r = np.zeros(coo.nrow)
+    np.add.at(r, ii, vv32 * np.asarray(x)[jj])
+    assert np.max(np.abs(r - 1.0)) < 1e-4
+
+
 def test_error_analysis_and_condition_numbers():
     # compute_error_estimates / compute_condition_numbers wired into
     # solve (MUMPS ICNTL(11) / RINFOG analogs, lin_sol_params.rs:52-57)
