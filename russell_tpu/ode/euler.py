@@ -67,6 +67,7 @@ class EulerBackward:
         lsp = params.newton.lin_sol_params
         self.plan = _factor.analyze(
             n, ii, jj, genie=params.newton.genie,
+            grid=getattr(system, "grid", None),
             **({} if lsp is None else dict(
                 ordering=lsp.ordering, scaling=lsp.scaling,
                 pivot_epsilon=lsp.pivot_epsilon,

@@ -68,7 +68,7 @@ class Radau5:
             refine_steps=lsp.refinement_nstep,
             dense_threshold=lsp.dense_threshold, max_block=lsp.max_block)
         self.plan = _factor.analyze(ndim, ii, jj, genie=params.newton.genie,
-                                    **kw)
+                                    grid=getattr(system, "grid", None), **kw)
 
         self._f = jax.jit(system.function)
         self._build_kernels()

@@ -163,6 +163,11 @@ def brusselator_pde(alpha: float, npoint: int, second_book: bool = False,
         return jnp.concatenate(parts)
 
     system.set_jacobian((ii, jj), jac)
+    if not second_book:
+        # grid-structure hint: cell m = j*nx + i, vars species-major —
+        # unlocks the GRIDMF multifrontal path (periodic wrap of the
+        # second book is not cell-local, so no hint there)
+        system.grid = (ny, nx, 2)
 
     xi = np.asarray(i * dx)
     yi = np.asarray(j * dy)

@@ -50,6 +50,10 @@ class System:
         self.jacobian: Optional[Callable] = None
         self.jac_structure: Optional[Tuple[np.ndarray, np.ndarray]] = None
         self.mass: Optional[CooMatrix] = None
+        # optional structure hint (nr, nc, s) for grid-stencil Jacobians
+        # (species-major layout var = k*nr*nc + r*nc + c) — unlocks the
+        # GRIDMF multifrontal factorization path
+        self.grid: Optional[Tuple[int, int, int]] = None
 
     # -- jacobian ------------------------------------------------------------
 

@@ -29,6 +29,9 @@ class Genie(enum.Enum):
     DENSE = "dense"
     BANDED = "banded"
     SPLU = "splu"
+    # regular-grid nested-dissection multifrontal: batched congruent
+    # dense fronts, every hot op a large MXU GEMM (needs a grid hint)
+    GRIDMF = "gridmf"
 
     @staticmethod
     def from_name(name: str) -> "Genie":

@@ -41,6 +41,7 @@ from russell_tpu.sparse.enums import Genie, Ordering, Scaling
 from russell_tpu.sparse.ordering import bandwidth, rcm_ordering
 from russell_tpu.sparse import splu as _splu
 from russell_tpu.sparse import bcr as _bcr
+from russell_tpu.sparse import gridmf as _gridmf
 
 __all__ = ["SolvePlan", "analyze", "numeric_factorize", "factor_solve"]
 
@@ -67,6 +68,8 @@ class SolvePlan:
     pad_idx: Optional[np.ndarray] = None    # identity positions for padding
     # SPLU:
     splu_plan: Optional["_splu.SpluPlan"] = None
+    # GRIDMF (regular-grid nested-dissection multifrontal):
+    gridmf_plan: Optional["_gridmf.GridMfPlan"] = None
     # options
     scaling: Scaling = Scaling.MAX
     pivot_epsilon: float = 1e-14
@@ -98,11 +101,14 @@ def analyze(
     max_block: int = 4096,
     mixed_precision: Optional[bool] = None,
     banded_kernel: str = "auto",
+    grid: Optional[tuple] = None,
 ) -> SolvePlan:
     """Symbolic phase: choose a path and freeze the numeric phase's indices.
 
     ``rows``/``cols`` must describe the FULL pattern (triangular symmetric
-    storage expanded by the caller).
+    storage expanded by the caller). ``grid = (nr, nc, s)`` is a structure
+    hint (species-major layout var = k*nr*nc + r*nc + c) that unlocks the
+    GRIDMF multifrontal path for cell-local stencil patterns.
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
@@ -111,6 +117,35 @@ def analyze(
         mixed_precision = jax.default_backend() == "tpu"
     if mixed_precision:
         refine_steps = max(refine_steps, 3)
+
+    if grid is not None and (genie == Genie.GRIDMF or
+                             (genie == Genie.AUTO and n > dense_threshold)):
+        # 8x8-cell leaves (leaf_cells=64): at npoint=513 (ndim 526k) the
+        # stored fronts are 2.9 GB/plane f32 vs 6.4 GB with 16x16-cell
+        # leaves — the extra tree depth costs only a few more
+        # batched-GEMM levels
+        import os as _os
+        leaf = int(_os.environ.get("RUSSELL_TPU_GRIDMF_LEAF", "64"))
+        try:
+            gplan = _gridmf.gridmf_analyze(n, rows, cols, grid,
+                                           leaf_cells=leaf,
+                                           pivot_epsilon=pivot_epsilon)
+        except ValueError:
+            if genie == Genie.GRIDMF:
+                raise
+            gplan = None  # not cell-local: fall through to AUTO paths
+        if gplan is not None:
+            return SolvePlan(Genie.GRIDMF, n, rows, cols,
+                             gridmf_plan=gplan,
+                             scaling=Scaling.MAX if scaling == Scaling.AUTO
+                             else scaling,
+                             pivot_epsilon=pivot_epsilon,
+                             refine_steps=max(refine_steps, 2),
+                             effective_ordering="nd-grid",
+                             mixed32=mixed_precision)
+    if genie == Genie.GRIDMF:
+        raise ValueError("Genie.GRIDMF needs a grid=(nr, nc, s) hint "
+                         f"covering n={n}")
 
     if genie == Genie.AUTO:
         if n <= dense_threshold:
@@ -496,6 +531,15 @@ def numeric_factorize(plan: SolvePlan, data):
         fac["cs"] = cs
         fac["data"] = data
         return fac
+    if plan.genie == Genie.GRIDMF:
+        data, rs, cs = _equilibrate(plan, data)
+        fac = _gridmf.gridmf_factorize(
+            plan.gridmf_plan,
+            data.astype(_factor_dtype(plan, data.dtype)))
+        fac["rs"] = rs
+        fac["cs"] = cs
+        fac["data"] = data
+        return fac
     raise ValueError(f"unsupported genie {plan.genie}")
 
 
@@ -568,6 +612,11 @@ def _solve_once(plan: SolvePlan, fac, b):
         out_dtype = fac["data"].dtype
         y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
         x = _splu.splu_solve(plan.splu_plan, fac, y)
+        return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
+    if plan.genie == Genie.GRIDMF:
+        out_dtype = fac["data"].dtype
+        y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
+        x = _gridmf.gridmf_solve(plan.gridmf_plan, fac, y)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
     if plan.use_bcr:
         return _banded_solve_bcr(plan, fac, b)

@@ -58,6 +58,9 @@ class LinSolParams:
     # native-path tuning
     dense_threshold: int = 1200
     max_block: int = 4096
+    # structure hint (nr, nc, s) for grid-stencil matrices (species-major
+    # layout var = k*nr*nc + r*nc + c) — unlocks the GRIDMF multifrontal
+    grid: Optional[tuple] = None
 
 
 @dataclass
@@ -164,6 +167,7 @@ class LinSolver:
                 refine_steps=params.refinement_nstep,
                 dense_threshold=params.dense_threshold,
                 max_block=params.max_block,
+                grid=params.grid,
             )
             self._structure = structure
             plan = self.plan

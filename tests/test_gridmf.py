@@ -1,0 +1,171 @@
+"""GRIDMF (regular-grid nested-dissection multifrontal) tests.
+
+Oracle: dense NumPy solve/slogdet on random 9-point-stencil grid matrices
+(the factorization contract of the reference's MUMPS JOB_FACTORIZE,
+interface_mumps.c:185-213, specialised to grid problems).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from russell_tpu.sparse.gridmf import (gridmf_analyze, gridmf_factorize,
+                                       gridmf_solve)
+from russell_tpu.sparse import factor as _factor
+from russell_tpu.sparse.enums import Genie
+
+
+def _stencil_coo(nr, nc, s, rng, reach=1):
+    """Full 9-point stencil with all cross-species couplings."""
+    ncell = nr * nc
+    m = np.arange(ncell)
+    i = m % nc
+    j = m // nc
+    rows, cols = [], []
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            keep = ((j + dr >= 0) & (j + dr < nr)
+                    & (i + dc >= 0) & (i + dc < nc))
+            src = m[keep]
+            dst = src + dr * nc + dc
+            for k in range(s):
+                for k2 in range(s):
+                    rows.append(k * ncell + src)
+                    cols.append(k2 * ncell + dst)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    n = ncell * s
+    vals = rng.normal(size=len(rows)) + 6.0 * (rows == cols)
+    return n, rows, cols, vals
+
+
+@pytest.mark.parametrize("shape", [(5, 8), (13, 11), (33, 33), (27, 40)])
+@pytest.mark.parametrize("s", [1, 2])
+def test_gridmf_real_solve_and_logdet(shape, s):
+    nr, nc = shape
+    rng = np.random.default_rng(nr * 100 + nc + s)
+    n, rows, cols, vals = _stencil_coo(nr, nc, s, rng)
+    plan = gridmf_analyze(n, rows, cols, (nr, nc, s), leaf_cells=4)
+    A = np.zeros((n, n))
+    np.add.at(A, (rows, cols), vals)
+    x_ref = np.linalg.solve(A, np.ones(n))
+    _, ld_ref = np.linalg.slogdet(A)
+    fac = gridmf_factorize(plan, jnp.asarray(vals))
+    x = np.asarray(gridmf_solve(plan, fac, jnp.ones(n)))
+    err = np.max(np.abs(x - x_ref)) / max(1.0, np.max(np.abs(x_ref)))
+    assert err < 1e-10
+    assert abs(float(fac["logdet"]) - ld_ref) < 1e-7 * max(1.0, abs(ld_ref))
+
+
+@pytest.mark.parametrize("shape,s", [((13, 11), 2), ((33, 33), 1)])
+def test_gridmf_complex_planes(shape, s):
+    nr, nc = shape
+    rng = np.random.default_rng(7)
+    n, rows, cols, vals = _stencil_coo(nr, nc, s, rng)
+    valc = vals + 0.3j * rng.normal(size=len(vals))
+    plan = gridmf_analyze(n, rows, cols, (nr, nc, s), leaf_cells=4)
+    A = np.zeros((n, n), complex)
+    np.add.at(A, (rows, cols), valc)
+    x_ref = np.linalg.solve(A, np.ones(n))
+    sign, ld_ref = np.linalg.slogdet(A)
+    fac = gridmf_factorize(plan, jnp.asarray(valc))
+    x = np.asarray(gridmf_solve(plan, fac, jnp.ones(n, complex)))
+    err = np.max(np.abs(x - x_ref)) / max(1.0, np.max(np.abs(x_ref)))
+    assert err < 1e-10
+    # ghost pivots carry a REAL unit diagonal: log|det| stays exact even
+    # on padded (non-2^a) grids
+    assert abs(float(fac["logdet"]) - ld_ref) < 1e-7 * max(1.0, abs(ld_ref))
+
+
+def test_gridmf_rejects_non_cell_local():
+    # periodic wrap couples cell 0 to cell nc-1: reach > 1
+    nr = nc = 8
+    n = nr * nc
+    m = np.arange(n)
+    rows = np.concatenate([m, m])
+    cols = np.concatenate([m, (m + 1) % nc + (m // nc) * nc])
+    with pytest.raises(ValueError):
+        gridmf_analyze(n, rows, cols, (nr, nc, 1))
+
+
+def test_gridmf_f32_with_refinement_meets_driver_tolerance():
+    # the dryrun contract solves in f32; refinement must deliver 1e-3 abs
+    nr = nc = 20
+    rng = np.random.default_rng(3)
+    n, rows, cols, vals = _stencil_coo(nr, nc, 2, rng)
+    plan = _factor.analyze(n, rows, cols, genie=Genie.GRIDMF,
+                           grid=(nr, nc, 2), dense_threshold=8,
+                           mixed_precision=True)
+    assert plan.genie == Genie.GRIDMF
+    v32 = jnp.asarray(vals, dtype=jnp.float32)
+    fac = _factor.numeric_factorize(plan, v32)
+    b = jnp.ones(n, jnp.float32)
+    x = np.asarray(_factor.factor_solve(plan, fac, b))
+    A = np.zeros((n, n))
+    np.add.at(A, (rows, cols), vals)
+    resid = np.max(np.abs(A @ x - 1.0))
+    assert resid < 1e-3
+
+
+def test_analyze_auto_prefers_gridmf_with_hint():
+    from russell_tpu.ode import samples as _osamples
+    system, _t0, _y0, _args = _osamples.brusselator_pde(2e-3, 33)
+    ii, jj = system.jac_structure
+    plan = _factor.analyze(system.ndim, np.asarray(ii), np.asarray(jj),
+                           grid=system.grid)
+    assert plan.genie == Genie.GRIDMF
+    assert plan.effective_ordering == "nd-grid"
+    # second book (periodic) must FALL BACK, not fail
+    system2, _t, _y, _a = _osamples.brusselator_pde(2e-3, 33,
+                                                    second_book=True)
+    assert system2.grid is None
+
+
+def test_gridmf_brusselator_jacobian_solve():
+    # the actual flagship matrix: K = gamma*M - J at the initial state
+    from russell_tpu.ode import samples as _osamples
+    npoint = 17
+    system, t0, yy0, _args = _osamples.brusselator_pde(2e-3, npoint)
+    ii, jj = (np.asarray(v) for v in system.jac_structure)
+    n = system.ndim
+    jv = np.asarray(system.jacobian(t0, jnp.asarray(yy0), None))
+    rows = np.concatenate([ii, np.arange(n)])
+    cols = np.concatenate([jj, np.arange(n)])
+    gamma = 120.0
+    data = np.concatenate([-jv, np.full(n, gamma)])
+    plan = _factor.analyze(n, rows, cols, grid=system.grid,
+                           dense_threshold=8)
+    assert plan.genie == Genie.GRIDMF
+    fac = _factor.numeric_factorize(plan, jnp.asarray(data))
+    b = jnp.asarray(np.sin(np.arange(n)))
+    x = np.asarray(_factor.factor_solve(plan, fac, b))
+    A = np.zeros((n, n))
+    np.add.at(A, (rows, cols), data)
+    assert np.max(np.abs(A @ x - np.asarray(b))) < 1e-9
+
+
+def test_gridmf_radau5_matches_banded():
+    # same integration through GRIDMF and BANDED: solution must agree
+    from russell_tpu.ode import Method, OdeSolver, Params
+    from russell_tpu.ode import samples as _osamples
+
+    ys = {}
+    for genie in (Genie.GRIDMF, Genie.BANDED):
+        system, t0, yy0, _args = _osamples.brusselator_pde(2e-3, 9)
+        params = Params(Method.RADAU5)
+        params.set_tolerances(1e-4, 1e-4)
+        params.newton.genie = genie
+        if genie == Genie.GRIDMF:
+            params.newton.lin_sol_params = __import__(
+                "russell_tpu.sparse.lin_solver", fromlist=["LinSolParams"]
+            ).LinSolParams(dense_threshold=8)
+        sol = OdeSolver(params, system)
+        y = sol.solve(yy0, t0, 0.5, args=None)
+        st = sol.stats()
+        ys[genie] = (np.asarray(y), st.n_steps, st.n_accepted)
+    yg, sg, ag = ys[Genie.GRIDMF]
+    yb, sb, ab = ys[Genie.BANDED]
+    assert np.all(np.isfinite(yg))
+    assert np.max(np.abs(yg - yb)) < 1e-6
+    assert (sg, ag) == (sb, ab)
