@@ -23,6 +23,8 @@ from russell_tpu.parallel.multihost import (initialize_multihost,
                                             shard_banded_factorize,
                                             shard_banded_solve)
 from russell_tpu.parallel.dist_splu import dist_splu_factorize
+from russell_tpu.parallel.dist_gridmf import (dist_gridmf_factorize,
+                                              dist_gridmf_solve)
 
 __all__ = [
     "make_mesh",
@@ -33,4 +35,6 @@ __all__ = [
     "shard_banded_factorize",
     "shard_banded_solve",
     "dist_splu_factorize",
+    "dist_gridmf_factorize",
+    "dist_gridmf_solve",
 ]

@@ -490,10 +490,19 @@ def _inv_planes(Sr, Si, delta):
             jnp.min(mp), jnp.sum(npc), jnp.ones((), Sr.dtype))
 
 
-def gridmf_factorize(plan: GridMfPlan, data):
+def gridmf_factorize(plan: GridMfPlan, data, shard=None):
     """Batched multifrontal factorization; jittable for a fixed plan.
     Returns a fac pytree with per-depth {Sinv, Lhat, B} (planes) plus
-    logdet/phase/min_pivot/n_perturbed (SPLU-compatible surface)."""
+    logdet/phase/min_pivot/n_perturbed (SPLU-compatible surface).
+
+    ``shard`` (optional): callback applied to every per-level batched
+    array (leading axis = congruent tree nodes). parallel.dist_gridmf
+    passes a ``with_sharding_constraint`` over the mesh here — the node
+    batch is embarrassingly parallel and children 2i, 2i+1 stay on the
+    parent's shard under blockwise sharding, so the extend-add needs no
+    cross-device traffic until n_nodes < n_devices."""
+    if shard is None:
+        shard = lambda a: a
     data = jnp.asarray(data)
     cplx = jnp.iscomplexobj(data)
     rdt = jnp.real(data).dtype
@@ -513,23 +522,26 @@ def gridmf_factorize(plan: GridMfPlan, data):
     ph = jnp.ones((), rdt)
     for d in range(len(plan.levels) - 1, -1, -1):
         lv = plan.levels[d]
-        fr = _assemble(lv, uniq_re, rdt)
-        fi = _assemble(lv, uniq_im, rdt, ghost=False) if cplx else None
+        fr = shard(_assemble(lv, uniq_re, rdt))
+        fi = shard(_assemble(lv, uniq_im, rdt, ghost=False)) if cplx \
+            else None
         if sch_re is not None:
             tr, ti = _embed_mat(lv, plan.levels[d + 1], sch_re, sch_im)
-            fr = fr + tr
+            fr = fr + shard(tr)
             if cplx:
-                fi = fi + ti
+                fi = fi + shard(ti)
         e = lv.e
         Sr, Si = fr[:, :e, :e], (fi[:, :e, :e] if cplx else None)
         Br, Bi = fr[:, :e, e:], (fi[:, :e, e:] if cplx else None)
         Cr, Ci = fr[:, e:, :e], (fi[:, e:, :e] if cplx else None)
         Rr, Ri = fr[:, e:, e:], (fi[:, e:, e:] if cplx else None)
         SIr, SIi, ld_d, mp_d, np_d, ph_d = _inv_planes(Sr, Si, delta)
+        SIr = shard(SIr)
+        SIi = shard(SIi) if SIi is not None else None
         Lr, Li = _mm(Cr, Ci, SIr, SIi)
         Ur, Ui = _mm(Lr, Li, Br, Bi)
-        sch_re = Rr - Ur
-        sch_im = (Ri - Ui) if cplx else None
+        sch_re = shard(Rr - Ur)
+        sch_im = shard(Ri - Ui) if cplx else None
         store[d] = {"sir": SIr, "sii": SIi, "lr": Lr, "li": Li,
                     "br": Br, "bi": Bi}
         ld = ld + ld_d
@@ -540,10 +552,12 @@ def gridmf_factorize(plan: GridMfPlan, data):
             "n_perturbed": npc}
 
 
-def gridmf_solve(plan: GridMfPlan, fac, bvec):
+def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None):
     """x = A^{-1} b through the stored fronts: up-sweep (forward
     elimination of the rhs) then down-sweep (back-substitution), all
-    batched einsums. Jittable."""
+    batched einsums. Jittable. ``shard``: see gridmf_factorize."""
+    if shard is None:
+        shard = lambda a: a
     bvec = jnp.asarray(bvec)
     # complexness is part of the pytree STRUCTURE (None leaves), so the
     # fac stays usable across jit boundaries (no traced-bool branching)
@@ -581,8 +595,8 @@ def gridmf_solve(plan: GridMfPlan, fac, bvec):
         # keep-rhs update: fk - Lhat @ fe
         ur, ui = _mm(st["lr"], st["li"],
                      fer[:, :, None], fei[:, :, None] if cplx else None)
-        fk_re = fr[:, e:] - ur[:, :, 0]
-        fk_im = (fi[:, e:] - ui[:, :, 0]) if cplx else None
+        fk_re = shard(fr[:, e:] - ur[:, :, 0])
+        fk_im = shard(fi[:, e:] - ui[:, :, 0]) if cplx else None
 
     x_re = jnp.zeros(plan.n + 1, rdt)
     x_im = jnp.zeros(plan.n + 1, rdt) if cplx else None
@@ -611,8 +625,9 @@ def gridmf_solve(plan: GridMfPlan, fac, bvec):
         if cplx:
             x_im = x_im.at[ev.reshape(-1)].set(xei.reshape(-1),
                                                mode="drop")
-        xf_re = jnp.concatenate([xer, xk_re], axis=1)
-        xf_im = (jnp.concatenate([xei, xk_im], axis=1) if cplx else None)
+        xf_re = shard(jnp.concatenate([xer, xk_re], axis=1))
+        xf_im = (shard(jnp.concatenate([xei, xk_im], axis=1)) if cplx
+                 else None)
     if cplx:
         cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
         return (x_re[:plan.n].astype(cdt)

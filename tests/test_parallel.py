@@ -91,3 +91,35 @@ def test_dist_splu_factorize_matches_single_chip(dtype):
     assert float(fac_d["phase"]) == float(fac_s["phase"])
     assert abs(float(fac_d["logdet"]) - float(fac_s["logdet"])) < (
         1e-8 if dtype == np.float64 else 1e-2)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_dist_gridmf_matches_single_chip(dtype):
+    # node-axis-sharded GRIDMF == single-chip gridmf (sharding
+    # constraints change layout, never math); f32 case tracks the
+    # driver's absolute-residual contract
+    from russell_tpu.parallel import (make_mesh, dist_gridmf_factorize,
+                                      dist_gridmf_solve)
+    from russell_tpu.sparse import gridmf as _g
+
+    coo = samples.laplacian_2d(33)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    plan = _g.gridmf_analyze(n, ii, jj, (33, 33, 1), leaf_cells=16)
+    assert max(lv.n_nodes for lv in plan.levels) >= 8  # actually shards
+    mesh = make_mesh(8)
+    vals = jnp.asarray(vv, dtype=dtype)
+    fac_d = dist_gridmf_factorize(mesh, plan, vals)
+    fac_s = jax.jit(lambda v: _g.gridmf_factorize(plan, v))(vals)
+    for d in range(len(plan.levels)):
+        ds = np.asarray(fac_d["levels"][d]["sir"], dtype=np.float64)
+        ss = np.asarray(fac_s["levels"][d]["sir"], dtype=np.float64)
+        tol = 1e-12 if dtype == np.float64 else 1e-5
+        assert np.max(np.abs(ds - ss)) <= tol * (1 + np.max(np.abs(ss)))
+    b = np.linspace(1.0, 2.0, n)
+    x = dist_gridmf_solve(mesh, plan, fac_d, jnp.asarray(b, dtype=dtype))
+    A = np.asarray(coo.as_dense())
+    resid = np.max(np.abs(A @ np.asarray(x, dtype=np.float64) - b))
+    assert resid < (1e-9 if dtype == np.float64 else 1e-3)  # absolute
+    assert abs(float(fac_d["logdet"]) - float(fac_s["logdet"])) < (
+        1e-8 if dtype == np.float64 else 1e-2)

@@ -32,15 +32,25 @@ LOGS = os.path.join(ROOT, "data", "logs")
 import numpy as np
 
 # name -> (builder expression, genie, per-case timeout seconds)
+# 2-D grid operators carry a GRIDMF structure hint (row-major, s=1):
+# the nested-dissection multifrontal path is the production choice there
 CASES = {
     "bfwb62": ("mtx:/root/reference/russell_sparse/data/matrix_market/"
                "bfwb62.mtx", "splu", 600),
-    "laplacian_2d_317": ("laplacian_2d:317", "splu", 1800),
-    "laplacian_2d_1000": ("laplacian_2d:1000", "splu", 3600),
+    "laplacian_2d_317": ("laplacian_2d:317", "gridmf", 1800),
+    "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 3600),
     "laplacian_3d_50": ("laplacian_3d:50", "splu", 1800),
     "laplacian_3d_64": ("laplacian_3d:64", "splu", 3600),
     "conv_diff_3d_50": ("laplacian_3d:50:0.5", "splu", 1800),
 }
+
+
+def _grid_hint(spec):
+    kind, _, rest = spec.partition(":")
+    if kind == "laplacian_2d":
+        np_ = int(rest.split(":")[0])
+        return (np_, np_, 1)
+    return None
 
 
 def _build(spec):
@@ -79,7 +89,7 @@ def run_case(name: str) -> int:
     t_read = time.perf_counter_ns() - t0
 
     solver = LinSolver(Genie.from_name(genie))
-    solver.factorize(coo, LinSolParams())
+    solver.factorize(coo, LinSolParams(grid=_grid_hint(spec)))
     rhs = np.ones(coo.nrow, dtype=np.asarray(coo.values).dtype)
     x = solver.solve(rhs)
     verify = VerifyLinSys.from_system(coo, x, rhs)
@@ -95,7 +105,7 @@ def run_case(name: str) -> int:
         "relative_error": verify.relative_error,
     }
     os.makedirs(LOGS, exist_ok=True)
-    out = os.path.join(LOGS, f"{name}_SPLU.json")
+    out = os.path.join(LOGS, f"{name}_{genie.upper()}.json")
     with open(out, "w") as fh:
         fh.write(st.get_json())
     print(f"{name}: rel_err={verify.relative_error:.3e} "
@@ -130,7 +140,8 @@ def main() -> int:
             code = -1
         wall = time.time() - t0
         if code == 0:
-            with open(os.path.join(LOGS, f"{name}_SPLU.json")) as fh:
+            with open(os.path.join(
+                    LOGS, f"{name}_{_genie.upper()}.json")) as fh:
                 rec = json.load(fh)
             summary[name] = {
                 "ok": True,
