@@ -106,9 +106,10 @@ def analyze(
     """Symbolic phase: choose a path and freeze the numeric phase's indices.
 
     ``rows``/``cols`` must describe the FULL pattern (triangular symmetric
-    storage expanded by the caller). ``grid = (nr, nc, s)`` is a structure
-    hint (species-major layout var = k*nr*nc + r*nc + c) that unlocks the
-    GRIDMF multifrontal path for cell-local stencil patterns.
+    storage expanded by the caller). ``grid = (*dims, s)`` — 2-D
+    ``(nr, nc, s)`` or 3-D ``(n0, n1, n2, s)`` — is a structure hint
+    (species-major layout var = k*prod(dims) + row_major_cell) that
+    unlocks the GRIDMF multifrontal path for cell-local stencil patterns.
     """
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)

@@ -1,23 +1,30 @@
 """Regular-grid nested-dissection multifrontal solver (GRIDMF).
 
-For matrices whose graph is a 2-D structured grid (R x C cells, ``s``
-unknowns per cell, stencil reach <= 1 cell incl. diagonals) — e.g. FDM
-discretizations like the Brusselator PDE Jacobian (the reference's
-flagship, russell_ode/examples/brusselator_pde_radau5.rs) and the
-Laplacian sample matrices — this is the speed-of-light TPU design:
+For matrices whose graph is an n-D structured grid (2-D or 3-D boxes of
+cells, ``s`` unknowns per cell, stencil reach <= 1 cell incl. diagonals)
+— e.g. FDM discretizations like the Brusselator PDE Jacobian (the
+reference's flagship, russell_ode/examples/brusselator_pde_radau5.rs)
+and the 2-D/3-D Laplacian benchmark operators — this is the
+speed-of-light TPU design:
 
 - **host symbolic**: recursive bisection of the grid by 1-cell-thick
-  separator lines. The grid is first padded (per axis) to the smallest
+  separator hyperplanes. Each axis is first padded to the smallest
   *perfectly splittable* virtual size ``P = 2^a * (leaf+1) - 1``, so
   every split is exact (``h = 2m + 1`` -> both children get exactly
   ``m``) and every node at a tree depth is CONGRUENT: one static front
-  layout, one child->parent embedding map per (depth, side), shared
+  layout and one child->parent embedding map per (depth, side), shared
   across all nodes of the depth. All ghost cells lie beyond the real
-  grid edge (bottom/right), so node footprints tile the virtual grid
-  disjointly and a ghost position can never coincide with a real cell
-  of another node (padding a *child* instead would overlap the ancestor
-  separators that bound every region). Area overhead <= ~12% at the
-  benchmark sizes (513 -> 543 with leaf=16).
+  grid's high edges, so node footprints tile the virtual grid disjointly
+  and a ghost position can never coincide with a real cell of another
+  node. Front layouts are **union-trimmed**: an elim/shell offset is
+  kept only if it lands inside the real grid for at least one node of
+  the depth. Trimming is what makes 3-D feasible — an untrimmed
+  Chebyshev shell of the root box would be ~7x the separator plane —
+  and it also shrinks the top 2-D fronts (the root keeps no shell at
+  all). Dropping is safe: an offset absent from a layout is out-of-grid
+  for EVERY node, so its front rows/cols, Schur contributions and rhs
+  entries are identically zero (induction from "ghost cells carry no
+  matrix entries").
 - **device numeric**: one batched dense pipeline per depth — assemble
   fronts (one static scatter-add of pre-summed entry values), invert the
   pivot block with ``splu._inv_block`` (recursive-Schur inverse, MUMPS
@@ -27,8 +34,8 @@ Laplacian sample matrices — this is the speed-of-light TPU design:
   There are NO per-row gathers or scatters anywhere on the device —
   XLA:TPU's indexed row ops cost ~300ns each, which is what bounds the
   general SPLU engine; here every hot op is a large batched GEMM.
-- **complex**: real/imag PLANES end to end (4-einsum products; complex
-  einsum and complex indexed ops are pathologically slow on this
+- **complex**: real/imag PLANES end to end (Karatsuba 3-mult products;
+  complex einsum and complex indexed ops are pathologically slow on this
   backend); pivot-block inversion expands the planes to the real
   embedding K=[[R,-I],[I,R]], inverts, and keeps the planes of the
   result. log|det| is exact; the complex determinant phase is not
@@ -37,19 +44,20 @@ Laplacian sample matrices — this is the speed-of-light TPU design:
 Ghost padding is SAFE by construction: ghost cells never carry matrix
 entries, so their Schur rows/cols stay exactly zero; ghost pivot slots
 get a unit diagonal at assembly (logdet contribution 0) and ghost
-positions that fall outside a parent's geometry are dropped by the
+positions that fall outside a parent's layout are dropped by the
 embedding (their content is identically zero).
 
 Reference role: the analyze/factorize/solve split of MUMPS
 (interface_mumps.c JOB_ANALYZE/JOB_FACTORIZE/JOB_SOLVE) specialised to
 regular grids; fill and flops match nested-dissection multifrontal
-theory (O(n log n) fill, O(n^1.5) flops in 2-D).
+theory (O(n log n) fill / O(n^1.5) flops in 2-D, O(n^{4/3}) fill /
+O(n^2) flops in 3-D).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 import jax
@@ -71,7 +79,7 @@ class _Level:
     """Static description of one congruent tree depth (host arrays)."""
 
     n_nodes: int
-    ncell_front: int      # front cells (elim cells first, then ring)
+    ncell_front: int      # front cells (elim cells first, then shell)
     ncell_elim: int
     s: int                # vars per cell
     # entry assembly: unique flat positions into (n_nodes*F*F) and the
@@ -105,8 +113,7 @@ class GridMfPlan:
     elimination order, leaves first)."""
 
     n: int
-    nr: int
-    nc: int
+    dims: Tuple[int, ...]   # real grid extents per axis (2-D or 3-D)
     s: int
     levels: List[_Level] = field(default_factory=list)  # depth 0 = root
     entry_perm: np.ndarray = None   # entries ordered by (depth, position)
@@ -115,50 +122,31 @@ class GridMfPlan:
     pivot_epsilon: float = 1e-14
 
 
-def _front_pos(h, w, axis, m, leaf, dr, dc):
-    """Front CELL slot of local offset (dr, dc) in a node of shape
-    (h, w); -1 if the offset is not part of the front. Vectorized."""
-    dr = np.asarray(dr)
-    dc = np.asarray(dc)
+def _box_offsets(shape):
+    """Row-major (dr, dc, ...) offsets of every cell in a box."""
+    grids = np.meshgrid(*[np.arange(int(d)) for d in shape], indexing="ij")
+    return np.stack([g.reshape(-1) for g in grids], axis=1).astype(np.int64)
+
+
+def _elim_offsets(shape, axis, m, leaf):
+    """Eliminated cells of a node: the whole box (leaf) or the
+    1-cell-thick separator hyperplane at position ``m`` on ``axis``."""
     if leaf:
-        ne = h * w
-        elim = np.where((dr >= 0) & (dr < h) & (dc >= 0) & (dc < w),
-                        dr * w + dc, -1)
-    elif axis == 0:
-        ne = w
-        elim = np.where((dr == m) & (dc >= 0) & (dc < w), dc, -1)
-    else:
-        ne = h
-        elim = np.where((dc == m) & (dr >= 0) & (dr < h), dr, -1)
-    # ring: top row (-1, -1..w), bottom row (h, -1..w), left col, right col
-    top = np.where((dr == -1) & (dc >= -1) & (dc <= w), dc + 1, -1)
-    bot = np.where((dr == h) & (dc >= -1) & (dc <= w), (w + 2) + dc + 1, -1)
-    lef = np.where((dc == -1) & (dr >= 0) & (dr < h),
-                   2 * (w + 2) + dr, -1)
-    rig = np.where((dc == w) & (dr >= 0) & (dr < h),
-                   2 * (w + 2) + h + dr, -1)
-    ring = np.maximum(np.maximum(top, bot), np.maximum(lef, rig))
-    return np.where(elim >= 0, elim, np.where(ring >= 0, ne + ring, -1))
+        return _box_offsets(shape)
+    sub = list(shape)
+    sub[axis] = 1
+    off = _box_offsets(sub)
+    off[:, axis] = m
+    return off
 
 
-def _ring_offsets(h, w):
-    """Ring cell local offsets in canonical order (matches _front_pos)."""
-    cs = np.arange(-1, w + 1)
-    rs = np.arange(0, h)
-    top = np.stack([np.full(w + 2, -1), cs], axis=1)
-    bot = np.stack([np.full(w + 2, h), cs], axis=1)
-    lef = np.stack([rs, np.full(h, -1)], axis=1)
-    rig = np.stack([rs, np.full(h, w)], axis=1)
-    return np.concatenate([top, bot, lef, rig], axis=0)
-
-
-def _elim_offsets(h, w, axis, m, leaf):
-    if leaf:
-        rr, cc = np.divmod(np.arange(h * w), w)
-        return np.stack([rr, cc], axis=1)
-    if axis == 0:
-        return np.stack([np.full(w, m), np.arange(w)], axis=1)
-    return np.stack([np.arange(h), np.full(h, m)], axis=1)
+def _shell_offsets(shape):
+    """Chebyshev-distance-1 exterior cells of the box (the coupling set
+    of its boundary under reach-1 stencils), row-major enumeration."""
+    shape = np.asarray(shape, dtype=np.int64)
+    infl = _box_offsets(shape + 2) - 1
+    outside = np.any((infl < 0) | (infl >= shape[None, :]), axis=1)
+    return infl[outside]
 
 
 def _pad_axis(nreal: int, target: int):
@@ -184,103 +172,121 @@ def _pad_axis(nreal: int, target: int):
 def gridmf_analyze(n: int, rows, cols, grid,
                    leaf_cells: int = 32,
                    pivot_epsilon: float = 1e-14) -> GridMfPlan:
-    """Symbolic phase. ``grid`` = (nr, nc, s) with the species-major
-    variable layout var = k*(nr*nc) + r*nc + c (the natural layout of
-    russell_tpu.ode.samples.brusselator_pde and pde.fdm). Raises
-    ValueError if the entry pattern is not cell-local (stencil reach
-    must be <= 1 cell in each direction; periodic wrap is rejected)."""
-    nr, nc, s = (int(v) for v in grid)
-    if nr < 2 or nc < 2:
-        raise ValueError("gridmf needs a 2-D grid (nr, nc >= 2)")
-    if nr * nc * s != n:
+    """Symbolic phase. ``grid`` = (*dims, s) — 2-D ``(nr, nc, s)`` or
+    3-D ``(n0, n1, n2, s)`` — with the species-major variable layout
+    ``var = k*prod(dims) + row_major_cell`` (the natural layout of
+    russell_tpu.ode.samples.brusselator_pde, pde.fdm and
+    sparse.samples.laplacian_2d/3d). Raises ValueError if the entry
+    pattern is not cell-local (stencil reach must be <= 1 cell in each
+    direction; periodic wrap is rejected)."""
+    grid = tuple(int(v) for v in grid)
+    if len(grid) < 3:
+        raise ValueError("grid hint must be (*dims, s) with >= 2 axes")
+    dims, s = grid[:-1], grid[-1]
+    k = len(dims)
+    if any(d < 2 for d in dims):
+        raise ValueError("gridmf needs every grid axis >= 2")
+    ncell = int(np.prod(dims))
+    if ncell * s != n:
         raise ValueError(f"grid {grid} does not cover n={n}")
     rows = np.asarray(rows, dtype=np.int64)
     cols = np.asarray(cols, dtype=np.int64)
+    dims_arr = np.asarray(dims, dtype=np.int64)
+    strides = np.ones(k, dtype=np.int64)
+    for a in range(k - 2, -1, -1):
+        strides[a] = strides[a + 1] * dims[a + 1]
 
-    ncell = nr * nc
-    cell_of = lambda v: v % ncell
-    cr = (rows % ncell) // nc
-    cc_ = (rows % ncell) % nc
-    dr_ = (cols % ncell) // nc - cr
-    dc_ = (cols % ncell) % nc - cc_
-    if np.max(np.abs(dr_)) > 1 or np.max(np.abs(dc_)) > 1:
-        raise ValueError("entry pattern is not cell-local "
-                         "(stencil reach > 1 or periodic wrap)")
+    ci_cell = rows % ncell
+    cj_cell = cols % ncell
+    for a in range(k):
+        da = ((cj_cell // strides[a]) % dims[a]
+              - (ci_cell // strides[a]) % dims[a])
+        if len(da) and np.max(np.abs(da)) > 1:
+            raise ValueError("entry pattern is not cell-local "
+                             "(stencil reach > 1 or periodic wrap)")
 
     # ---- perfectly-splittable virtual grid + shapes per depth -------------
-    # (h, w, axis, m, leaf). Each axis is padded to P = 2^a*(l+1)-1 so
-    # every bisection is exact (h = 2m+1 -> both children exactly m):
-    # all nodes at a depth are congruent and every ghost cell lies
-    # beyond the real bottom/right edge, where it can never coincide
-    # with a real cell of another node.
-    t = max(2, int(round(leaf_cells ** 0.5)))
-    vr, lr = _pad_axis(nr, t)
-    vc, lc = _pad_axis(nc, t)
+    # Each axis padded to P = 2^a*(l+1)-1 so every bisection is exact
+    # (h = 2m+1 -> both children exactly m): all nodes at a depth are
+    # congruent and every ghost cell lies beyond the real high edge,
+    # where it can never coincide with a real cell of another node.
+    t = max(2, int(round(leaf_cells ** (1.0 / k))))
+    pads = [_pad_axis(d, t) for d in dims]
+    cur = [p for p, _ in pads]
+    leaf_len = [l for _, l in pads]
     shapes = []
-    h, w = vr, vc
-    while h * w > leaf_cells and (h > lr or w > lc):
-        axis = 0 if (h > lr and (h >= w or w <= lc)) else 1
-        m = (h if axis == 0 else w) // 2
-        shapes.append((h, w, axis, m, False))
-        if axis == 0:
-            h = m
-        else:
-            w = m
-    shapes.append((h, w, 0, 0, True))
+    while (int(np.prod(cur)) > leaf_cells
+           and any(cur[a] > leaf_len[a] for a in range(k))):
+        cand = [a for a in range(k) if cur[a] > leaf_len[a]]
+        axis = min(cand, key=lambda a: (-cur[a], a))
+        m = cur[axis] // 2
+        shapes.append((tuple(cur), axis, m, False))
+        cur[axis] = m
+    shapes.append((tuple(cur), 0, 0, True))
     D = len(shapes) - 1   # leaf depth
 
-    # ---- per-node origins + real extents (host, vectorized per depth) ----
-    origins = [np.zeros((1, 2), dtype=np.int64)]
-    reals = [np.array([[nr, nc]], dtype=np.int64)]
+    # ---- per-node origins (children interleaved as 2i, 2i+1) --------------
+    origins = [np.zeros((1, k), dtype=np.int64)]
     for d in range(D):
-        hh, ww, axis, m, _ = shapes[d]
+        _shape, axis, m, _ = shapes[d]
         org = origins[d]
-        rl = reals[d]
-        o_top = org.copy()
-        o_bot = org.copy()
-        r_top = rl.copy()
-        r_bot = rl.copy()
-        if axis == 0:
-            o_bot[:, 0] += m + 1
-            r_top[:, 0] = np.minimum(m, rl[:, 0])
-            r_bot[:, 0] = np.maximum(0, rl[:, 0] - m - 1)
-        else:
-            o_bot[:, 1] += m + 1
-            r_top[:, 1] = np.minimum(m, rl[:, 1])
-            r_bot[:, 1] = np.maximum(0, rl[:, 1] - m - 1)
-        # interleave children as 2i, 2i+1
-        origins.append(np.stack([o_top, o_bot], axis=1).reshape(-1, 2))
-        reals.append(np.stack([r_top, r_bot], axis=1).reshape(-1, 2))
+        o_hi = org.copy()
+        o_hi[:, axis] += m + 1
+        origins.append(np.stack([org, o_hi], axis=1).reshape(-1, k))
 
-    # ---- paint cells: depth / node / elim slot of every REAL cell --------
-    depth_of = np.full((nr, nc), -1, dtype=np.int64)
-    node_of = np.full((nr, nc), -1, dtype=np.int64)
+    # ---- per-depth union-trimmed layouts + cell painting -------------------
+    depth_of = np.full(ncell, -1, dtype=np.int64)
+    node_of = np.full(ncell, -1, dtype=np.int64)
     levels: List[_Level] = []
+    luts: List[np.ndarray] = []
+    soffs: List[np.ndarray] = []
     for d in range(D + 1):
-        hh, ww, axis, m, leaf = shapes[d]
+        shape, axis, m, leaf = shapes[d]
         org = origins[d]
-        rl = reals[d]
-        eoff = _elim_offsets(hh, ww, axis, m, leaf)
-        roff = _ring_offsets(hh, ww)
+        # union trim: offset o admissible on axis a iff org_a + o_a lands
+        # in the real grid for SOME node (origins form a per-axis product,
+        # so the any-node test factorizes per axis)
+        adm = []
+        for a in range(k):
+            o = np.arange(-1, shape[a] + 1)
+            u = np.unique(org[:, a])
+            ok = ((u[None, :] + o[:, None] >= 0)
+                  & (u[None, :] + o[:, None] < dims_arr[a])).any(axis=1)
+            adm.append(ok)
+
+        def _keep(off):
+            kp = np.ones(len(off), dtype=bool)
+            for a in range(k):
+                kp &= adm[a][off[:, a] + 1]
+            return off[kp]
+
+        eoff = _keep(_elim_offsets(shape, axis, m, leaf))
+        if len(eoff) == 0:
+            # pathological padding: an all-ghost separator — keep one
+            # slot so the pivot block is non-empty (unit pivot, det 0)
+            eoff = _elim_offsets(shape, axis, m, leaf)[:1]
+        soff = _keep(_shell_offsets(shape))
+        lut = np.full(tuple(dd + 2 for dd in shape), -1, dtype=np.int64)
+        lut[tuple((eoff + 1).T)] = np.arange(len(eoff))
+        lut[tuple((soff + 1).T)] = len(eoff) + np.arange(len(soff))
+        luts.append(lut)
+        soffs.append(soff)
+
         lv = _Level(n_nodes=len(org),
-                    ncell_front=len(eoff) + len(roff),
+                    ncell_front=len(eoff) + len(soff),
                     ncell_elim=len(eoff), s=s)
         levels.append(lv)
-        # global coords of elim cells: (n_nodes, ne, 2)
-        gr = org[:, None, 0] + eoff[None, :, 0]
-        gc = org[:, None, 1] + eoff[None, :, 1]
-        realmask = (eoff[None, :, 0] < rl[:, None, 0]) & \
-                   (eoff[None, :, 1] < rl[:, None, 1])
-        rr = gr[realmask]
-        cc2 = gc[realmask]
-        assert np.all(depth_of[rr, cc2] == -1), "cell painted twice"
-        depth_of[rr, cc2] = d
-        nid = np.broadcast_to(np.arange(len(org))[:, None],
-                              gr.shape)[realmask]
-        node_of[rr, cc2] = nid
+        g = org[:, None, :] + eoff[None, :, :]         # (n_nodes, ne, k)
+        realmask = np.all(g < dims_arr[None, None, :], axis=2)
+        flatcell = (g * strides[None, None, :]).sum(axis=2)
+        rr = flatcell[realmask]
+        assert np.all(depth_of[rr] == -1), "cell painted twice"
+        depth_of[rr] = d
+        node_of[rr] = np.broadcast_to(
+            np.arange(len(org))[:, None], flatcell.shape)[realmask]
         # elim var ids (ghost -> n pad), species-major layout
-        slot = np.where(realmask, gr * nc + gc, 0)
-        evar = (slot[:, :, None] * 1 + np.arange(s)[None, None, :] * ncell)
+        evar = (flatcell[:, :, None]
+                + np.arange(s)[None, None, :] * ncell)
         evar = np.where(realmask[:, :, None], evar, n)
         lv.elim_var = evar.reshape(len(org), -1).astype(np.int32)
         # ghost diagonal positions (per VAR)
@@ -299,58 +305,51 @@ def gridmf_analyze(n: int, rows, cols, grid,
 
     # ---- child->parent embedding maps (per depth, per side) --------------
     for d in range(1, D + 1):
-        hh, ww, axis_p, m_p, leaf_p = shapes[d - 1]
-        ch, cw = shapes[d][0], shapes[d][1]
-        roff = _ring_offsets(ch, cw)
-        emb = np.empty((2, len(roff) * s), dtype=np.int64)
+        _pshape, p_axis, p_m, _p_leaf = shapes[d - 1]
+        soff = soffs[d]
+        plut = luts[d - 1]
+        emb = np.empty((2, len(soff) * s), dtype=np.int64)
         for side in (0, 1):
-            if axis_p == 0:
-                delta = np.array([(m_p + 1) * side, 0])
-            else:
-                delta = np.array([0, (m_p + 1) * side])
-            pdr = roff[:, 0] + delta[0]
-            pdc = roff[:, 1] + delta[1]
-            cpos = _front_pos(hh, ww, axis_p, m_p, leaf_p, pdr, pdc)
+            poff = soff.copy()
+            poff[:, p_axis] += (p_m + 1) * side
+            cpos = plut[tuple((poff + 1).T)]
             vpos = np.where(cpos[:, None] >= 0,
                             cpos[:, None] * s + np.arange(s)[None, :], -1)
             emb[side] = vpos.reshape(-1)
         levels[d].emb = emb
 
     # ---- entry assembly ---------------------------------------------------
-    ci = rows % ncell
-    cj = cols % ncell
     ki = rows // ncell
     kj = cols // ncell
-    di = depth_of[ci // nc, ci % nc]
-    dj = depth_of[cj // nc, cj % nc]
+    di = depth_of[ci_cell]
+    dj = depth_of[cj_cell]
     dh = np.maximum(di, dj)           # deeper endpoint = home depth
-    home_cell = np.where(di >= dj, ci, cj)
-    nid = node_of[home_cell // nc, home_cell % nc]
+    home_cell = np.where(di >= dj, ci_cell, cj_cell)
+    nid = node_of[home_cell]
 
     def pos_in_home(cell, kk):
         pos = np.empty(len(rows), dtype=np.int64)
+        coords = np.stack([(cell // strides[a]) % dims[a]
+                           for a in range(k)], axis=1)
         for d in range(D + 1):
             sel = dh == d
             if not sel.any():
                 continue
-            hh, ww, axis, m, leaf = shapes[d]
-            org = origins[d][nid[sel]]
-            dr2 = cell[sel] // nc - org[:, 0]
-            dc2 = cell[sel] % nc - org[:, 1]
-            p = _front_pos(hh, ww, axis, m, leaf, dr2, dc2)
+            off = coords[sel] - origins[d][nid[sel]]
+            p = luts[d][tuple((off + 1).T)]
             assert np.all(p >= 0), "entry endpoint outside home front"
             pos[sel] = p * s + kk[sel]
         return pos
 
-    pi = pos_in_home(ci, ki)
-    pj = pos_in_home(cj, kj)
+    pi = pos_in_home(ci_cell, ki)
+    pj = pos_in_home(cj_cell, kj)
     # flat position within the depth's (n_nodes, F, F) front array
     Fs = np.array([lv.F for lv in levels], dtype=np.int64)
     flat = (nid * Fs[dh] + pi) * Fs[dh] + pj
     key = dh * (np.max(flat) + 2) + flat  # order by depth, then position
     order = np.argsort(key, kind="stable")
     uk, seg = np.unique(key[order], return_inverse=True)
-    plan = GridMfPlan(n=n, nr=nr, nc=nc, s=s, levels=levels,
+    plan = GridMfPlan(n=n, dims=dims, s=s, levels=levels,
                       entry_perm=order.astype(np.int64),
                       entry_seg=seg.astype(np.int64), n_uniq=len(uk),
                       pivot_epsilon=pivot_epsilon)

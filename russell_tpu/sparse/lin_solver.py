@@ -58,8 +58,9 @@ class LinSolParams:
     # native-path tuning
     dense_threshold: int = 1200
     max_block: int = 4096
-    # structure hint (nr, nc, s) for grid-stencil matrices (species-major
-    # layout var = k*nr*nc + r*nc + c) — unlocks the GRIDMF multifrontal
+    # structure hint (*dims, s) — 2-D (nr, nc, s) or 3-D (n0, n1, n2, s) —
+    # for grid-stencil matrices (species-major layout var = k*prod(dims)
+    # + row_major_cell); unlocks the GRIDMF multifrontal path
     grid: Optional[tuple] = None
 
 

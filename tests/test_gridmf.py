@@ -78,6 +78,86 @@ def test_gridmf_complex_planes(shape, s):
     assert abs(float(fac["logdet"]) - ld_ref) < 1e-7 * max(1.0, abs(ld_ref))
 
 
+def _stencil_coo_3d(n0, n1, n2, s, rng):
+    """Full 27-point stencil with all cross-species couplings."""
+    ncell = n0 * n1 * n2
+    m = np.arange(ncell)
+    c2 = m % n2
+    c1 = (m // n2) % n1
+    c0 = m // (n1 * n2)
+    rows, cols = [], []
+    for d0 in (-1, 0, 1):
+        for d1 in (-1, 0, 1):
+            for d2 in (-1, 0, 1):
+                keep = ((c0 + d0 >= 0) & (c0 + d0 < n0)
+                        & (c1 + d1 >= 0) & (c1 + d1 < n1)
+                        & (c2 + d2 >= 0) & (c2 + d2 < n2))
+                src = m[keep]
+                dst = src + d0 * n1 * n2 + d1 * n2 + d2
+                for k in range(s):
+                    for k2 in range(s):
+                        rows.append(k * ncell + src)
+                        cols.append(k2 * ncell + dst)
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    n = ncell * s
+    vals = rng.normal(size=len(rows)) + 16.0 * (rows == cols)
+    return n, rows, cols, vals
+
+
+@pytest.mark.parametrize("shape", [(5, 6, 4), (7, 7, 7), (9, 5, 11)])
+@pytest.mark.parametrize("s", [1, 2])
+def test_gridmf_3d_real_solve_and_logdet(shape, s):
+    n0, n1, n2 = shape
+    rng = np.random.default_rng(n0 * 100 + n1 * 10 + n2 + s)
+    n, rows, cols, vals = _stencil_coo_3d(n0, n1, n2, s, rng)
+    plan = gridmf_analyze(n, rows, cols, (n0, n1, n2, s), leaf_cells=8)
+    A = np.zeros((n, n))
+    np.add.at(A, (rows, cols), vals)
+    x_ref = np.linalg.solve(A, np.ones(n))
+    _, ld_ref = np.linalg.slogdet(A)
+    fac = gridmf_factorize(plan, jnp.asarray(vals))
+    x = np.asarray(gridmf_solve(plan, fac, jnp.ones(n)))
+    err = np.max(np.abs(x - x_ref)) / max(1.0, np.max(np.abs(x_ref)))
+    assert err < 1e-9
+    assert abs(float(fac["logdet"]) - ld_ref) < 1e-7 * max(1.0, abs(ld_ref))
+
+
+def test_gridmf_3d_complex_planes():
+    rng = np.random.default_rng(11)
+    n, rows, cols, vals = _stencil_coo_3d(6, 5, 7, 1, rng)
+    valc = vals + 0.3j * rng.normal(size=len(vals))
+    plan = gridmf_analyze(n, rows, cols, (6, 5, 7, 1), leaf_cells=8)
+    A = np.zeros((n, n), complex)
+    np.add.at(A, (rows, cols), valc)
+    x_ref = np.linalg.solve(A, np.ones(n))
+    fac = gridmf_factorize(plan, jnp.asarray(valc))
+    x = np.asarray(gridmf_solve(plan, fac, jnp.ones(n, complex)))
+    err = np.max(np.abs(x - x_ref)) / max(1.0, np.max(np.abs(x_ref)))
+    assert err < 1e-9
+
+
+def test_gridmf_3d_laplacian_through_factor():
+    # the MM-suite generator end to end: analyze picks GRIDMF off the
+    # 4-tuple hint; mixed f32 + refinement meets the 1e-10 rel-error bar
+    from russell_tpu.sparse import samples as _ssamples
+    coo = _ssamples.laplacian_3d(7, conv=0.4)   # unsymmetric
+    rows = np.asarray(coo.indices_i[:coo.nnz])
+    cols = np.asarray(coo.indices_j[:coo.nnz])
+    n = coo.nrow
+    plan = _factor.analyze(n, rows, cols, grid=(7, 7, 7, 1),
+                           dense_threshold=8)
+    assert plan.genie == Genie.GRIDMF
+    vals = np.asarray(coo.values[:coo.nnz])
+    fac = _factor.numeric_factorize(plan, jnp.asarray(vals))
+    b = jnp.ones(n)
+    x = np.asarray(_factor.factor_solve(plan, fac, b))
+    A = np.zeros((n, n))
+    np.add.at(A, (rows, cols), vals)
+    rel = np.max(np.abs(A @ x - 1.0)) / (np.max(np.abs(vals)) + 1.0)
+    assert rel < 1e-10
+
+
 def test_gridmf_rejects_non_cell_local():
     # periodic wrap couples cell 0 to cell nc-1: reach > 1
     nr = nc = 8

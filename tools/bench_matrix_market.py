@@ -39,9 +39,12 @@ CASES = {
                "bfwb62.mtx", "splu", 600),
     "laplacian_2d_317": ("laplacian_2d:317", "gridmf", 1800),
     "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 3600),
+    # 3-D grid sizes chosen pad-friendly for the ND bisection
+    # (63 = 2^4*4-1 exact, 101 -> virtual 103 = 2^3*13-1): n = 250k / 1.03M
     "laplacian_3d_50": ("laplacian_3d:50", "splu", 1800),
-    "laplacian_3d_64": ("laplacian_3d:64", "splu", 3600),
-    "conv_diff_3d_50": ("laplacian_3d:50:0.5", "splu", 1800),
+    "laplacian_3d_63": ("laplacian_3d:63", "gridmf", 3600),
+    "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 3600),
+    "conv_diff_3d_63": ("laplacian_3d:63:0.5", "gridmf", 3600),
 }
 
 
@@ -50,6 +53,9 @@ def _grid_hint(spec):
     if kind == "laplacian_2d":
         np_ = int(rest.split(":")[0])
         return (np_, np_, 1)
+    if kind == "laplacian_3d":
+        np_ = int(rest.split(":")[0])
+        return (np_, np_, np_, 1)
     return None
 
 
