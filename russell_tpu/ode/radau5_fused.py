@@ -349,7 +349,11 @@ def build_fused_solver(stepper, params, chunk=None):
                         "jac_computed": jac_computed, "eta": eta,
                         "n_jacobian": s["n_jacobian"] + njac,
                         "n_factor": s["n_factor"] + nfac,
+                        # the host consumes BOTH reuse flags at step start
+                        # (radau5.py step); a retry must recompute J unless
+                        # jac_computed says it is already fresh at (x, y)
                         "reuse_fact": jnp.zeros((), jnp.bool_),
+                        "reuse_jac": jnp.zeros((), jnp.bool_),
                         "follows_reject": jnp.ones((), jnp.bool_),
                         "last_step": jnp.zeros((), jnp.bool_),
                         "h_new": h * nst["h_mult"]}
@@ -442,6 +446,7 @@ def build_fused_solver(stepper, params, chunk=None):
                             "jv": jv, "h_fact": h_fact,
                             "jac_computed": jac_computed,
                             "reuse_fact": jnp.zeros((), jnp.bool_),
+                            "reuse_jac": jnp.zeros((), jnp.bool_),
                             "k_acc": k_acc, "scaling": scaling,
                             "n_function": nfcn2,
                             "n_jacobian": s["n_jacobian"] + njac,

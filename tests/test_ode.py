@@ -329,6 +329,25 @@ def test_radau5_robertson_matches_fortran():
     assert st.n_rejected == 1
 
 
+def test_radau5_fused_robertson_matches_fortran():
+    # the fused path must reproduce radau5.f exactly THROUGH a rejected
+    # step: a retry after reject/divergence recomputes the Jacobian (the
+    # host consumes both reuse flags at step start; the fused carry must
+    # clear reuse_jac in its reject/diverged branches too)
+    system, x0, y0, args = samples.robertson()
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-6
+    params.set_tolerances(1e-8, 1e-2)
+    sol = OdeSolver(params, system)
+    y = sol.solve(y0, x0, 0.3, args=args, fused=True)
+    st = sol.stats()
+    assert abs(float(y[0]) - 9.886740138499884E-01) < 1e-15
+    assert abs(st.h_accepted - 8.160578540333708E-01) < 1e-10
+    assert (st.n_function, st.n_jacobian, st.n_factor, st.n_lin_sol,
+            st.n_steps, st.n_accepted, st.n_rejected) == (88, 8, 15, 24,
+                                                          17, 15, 1)
+
+
 def test_radau5_solve_batch():
     # vmapped fused solves: per-lane adaptive paths, exact lane agreement
     system, x0, y0, x1, args = samples.van_der_pol(1e-4, False)
