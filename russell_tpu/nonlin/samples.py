@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from russell_tpu.nonlin.system import System
 
 __all__ = ["simple_linear_problem", "two_eq_ref", "one_eq_with_fold_point",
-           "circle_ul", "two_eq_nr_prob_1"]
+           "circle_ul", "two_eq_nr_prob_1", "bratu_1d_spc"]
 
 
 def simple_linear_problem():
@@ -89,3 +89,49 @@ def circle_ul(radius: float = 1.0):
     u0 = np.array([radius / math.sqrt(2.0)])
     l0 = radius / math.sqrt(2.0)
     return system, u0, l0
+
+
+def bratu_1d_spc(npoint: int = 20, alpha: float = 0.0):
+    """1-D Bratu problem by spectral collocation + SPS partitioning
+    (reference: russell_nonlin/tests/test_bratu_problem.rs):
+
+        d2(phi)/dx2 + lambda exp(phi / (1 + alpha phi)) = 0
+
+    on [0, 1] with homogeneous Dirichlet BCs. phi is collocated on a
+    Chebyshev-Gauss-Lobatto grid; u = interior values (SPS: the
+    prescribed boundary values are zero so the K-check coupling term
+    vanishes). G(u, l) = Kbar u + l b(u), Gu = Kbar + l diag(b'),
+    Gl = b with b_m = exp(u_m / (1 + alpha u_m)).
+
+    Returns (system, u0, l0, mid) with ``mid`` the interior index of
+    the gridpoint nearest x = 1/2 (the profile maximum).
+    """
+    from russell_tpu.algo.interp_lagrange import InterpLagrange
+
+    interp = InterpLagrange(npoint - 1)
+    interp.calc_dd2_matrix()
+    # map [-1, 1] -> [0, 1]: d2/dx2 = (dr/dx)^2 d2/dr2 with dr/dx = 2
+    kk = 4.0 * interp.get_dd2()
+    interior = np.arange(1, npoint - 1)
+    kbar = jnp.asarray(kk[np.ix_(interior, interior)])
+    ndim = npoint - 2
+    alpha = float(alpha)
+
+    def bvec(u):
+        return jnp.exp(u / (1.0 + alpha * u))
+
+    def gg(l, u, args):
+        return kbar @ u + l * bvec(u)
+
+    ii, jj = np.meshgrid(np.arange(ndim), np.arange(ndim), indexing="ij")
+
+    def jac(l, u, args):
+        b = bvec(u)
+        bp = b / (1.0 + alpha * u) ** 2
+        ggu = kbar + l * jnp.diag(bp)
+        return ggu.reshape(-1), b
+
+    system = System(ndim, gg, jac, structure=(ii.ravel(), jj.ravel()))
+    xi = np.asarray(interp.xx)[interior]
+    mid = int(np.argmin(np.abs(xi)))  # r = 0 <-> x = 1/2
+    return system, np.zeros(ndim), 0.0, mid

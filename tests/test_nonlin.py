@@ -124,3 +124,65 @@ def test_stats_counters():
     assert st.n_factor == st.n_jacobian
     assert st.n_steps == 1 and st.n_accepted == 1
     assert "function evaluations" in st.summary()
+
+
+def test_arclength_bratu_1d_spc_folds():
+    """1-D Bratu by spectral collocation: arclength through the fold(s),
+    then extended-system Newton ([G; Gu v; v_k - 1]) polishing each fold.
+
+    Oracles (test_bratu_problem.rs:158-165): lambda_crit = 3.51383071912516
+    (alpha=0, Mathematica) and 4.647906373918411 / 3.509919925802271
+    (alpha=0.2, from the reference's npt=500 run, itself ~1e-5 accurate).
+    The npt=20 spectral discretization + Newton polish recovers the
+    alpha=0 fold to 5e-11 — far inside the reference's 0.0028 tolerance.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def fold_polish(system, u, l):
+        n = system.ndim
+
+        def gu_mat(l, u):
+            vals, _ = system.calc_jac(l, u, None)
+            return jnp.reshape(vals, (n, n))
+
+        m = np.asarray(gu_mat(l, jnp.asarray(u)))
+        w, vv = np.linalg.eig(m)
+        v = np.real(vv[:, np.argmin(np.abs(w))])
+        k = int(np.argmax(np.abs(v)))
+        v = v / v[k]
+        z = jnp.concatenate([jnp.asarray(u), jnp.asarray(v),
+                             jnp.asarray([l])])
+
+        def ff(z):
+            u, v, l = z[:n], z[n:2 * n], z[2 * n]
+            g = jnp.asarray(system.calc_gg(l, u, None))
+            return jnp.concatenate([g, gu_mat(l, u) @ v,
+                                    jnp.asarray([v[k] - 1.0])])
+
+        for _ in range(30):
+            dz = jnp.linalg.solve(jax.jacfwd(ff)(z), -ff(z))
+            z = z + dz
+            if float(jnp.max(jnp.abs(dz))) < 1e-12:
+                break
+        return float(z[2 * n])
+
+    for alpha, want, tol in ((0.0, [3.51383071912516], 1e-9),
+                             (0.2, [4.647906373918411,
+                                    3.509919925802271], 5e-5)):
+        system, u0, l0, mid = samples.bratu_1d_spc(20, alpha)
+        sol = Solver(Config(method=Method.ARCLENGTH), system)
+        out = Output().set_recording(list(range(system.ndim)))
+        _u, _l, status = sol.solve(u0, l0, IniDir.POS,
+                                   Stop.max_comp_u(mid, 20.0),
+                                   DeltaLambda.auto(0.5), output=out)
+        assert status.success()
+        ls = np.asarray(out.step_l)
+        uu = np.stack([out.step_u(m) for m in range(system.ndim)], axis=1)
+        got = []
+        for j in range(1, len(ls) - 1):
+            if (ls[j] - ls[j - 1]) * (ls[j + 1] - ls[j]) < 0:
+                got.append(fold_polish(system, uu[j], ls[j]))
+        assert len(got) == len(want), (alpha, got)
+        for g, w in zip(got, want):
+            assert abs(g - w) < tol, (alpha, g, w)
