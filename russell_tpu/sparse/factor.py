@@ -121,10 +121,10 @@ def analyze(
 
     if grid is not None and (genie == Genie.GRIDMF or
                              (genie == Genie.AUTO and n > dense_threshold)):
-        # 8x8-cell leaves (leaf_cells=64): at npoint=513 (ndim 526k) the
-        # stored fronts are 2.9 GB/plane f32 vs 6.4 GB with 16x16-cell
-        # leaves — the extra tree depth costs only a few more
-        # batched-GEMM levels
+        # leaf_cells budget ~64 -> 16x16-cell (2-D) / 4x4x4-cell (3-D)
+        # leaves after padding: at npoint=513 (ndim 526k, s=2) the stored
+        # factors are 1.8 GB/plane f32, vs 0.9 GB with leaf_cells=16 —
+        # smaller leaves trade two more batched-GEMM levels for memory
         import os as _os
         leaf = int(_os.environ.get("RUSSELL_TPU_GRIDMF_LEAF", "64"))
         try:
