@@ -10,7 +10,7 @@ import jax.numpy as jnp
 from russell_tpu.nonlin.system import System
 
 __all__ = ["simple_linear_problem", "two_eq_ref", "one_eq_with_fold_point",
-           "circle_ul", "two_eq_nr_prob_1", "bratu_1d_spc"]
+           "circle_ul", "two_eq_nr_prob_1", "bratu_1d_spc", "bratu_2d_fdm"]
 
 
 def simple_linear_problem():
@@ -134,4 +134,58 @@ def bratu_1d_spc(npoint: int = 20, alpha: float = 0.0):
     system = System(ndim, gg, jac, structure=(ii.ravel(), jj.ravel()))
     xi = np.asarray(interp.xx)[interior]
     mid = int(np.argmin(np.abs(xi)))  # r = 0 <-> x = 1/2
+    return system, np.zeros(ndim), 0.0, mid
+
+
+def bratu_2d_fdm(npoint: int = 17, alpha: float = 0.0):
+    """2-D Bratu problem on the unit square by the 5-point FDM + SPS
+    partitioning (reference: test_bratu_problem.rs, Bolstad & Keller
+    oracle lambda_crit = 6.80812442259 at alpha = 0):
+
+        lap(phi) + lambda exp(phi / (1 + alpha phi)) = 0,  phi = 0 on bnd.
+
+    u = interior (unknown) values; G(u, l) = Kbar u + l b(u) with Kbar
+    the FDM Laplacian restricted to unknowns (kx = ky = -1 so the
+    operator is +lap). Sparse Gu structure = Kbar pattern + diagonal.
+
+    Returns (system, u0, l0, mid) with ``mid`` the unknown index nearest
+    the domain center (the profile maximum).
+    """
+    from russell_tpu.pde import (EssentialBcs2d, Fdm2d, Grid2d,
+                                 NaturalBcs2d)
+
+    ebcs = EssentialBcs2d()
+    ebcs.set_homogeneous()
+    grid = Grid2d.new_uniform(0.0, 1.0, 0.0, 1.0, npoint, npoint)
+    fdm = Fdm2d(grid, ebcs, NaturalBcs2d(), -1.0, -1.0)
+    kbar, _ = fdm.get_matrices_sps(0.0)
+    ki, kj, kv = kbar.triplets()
+    ki = np.asarray(ki)
+    kj = np.asarray(kj)
+    kv = jnp.asarray(np.asarray(kv))
+    ndim = kbar.nrow
+    alpha = float(alpha)
+
+    def bvec(u):
+        return jnp.exp(u / (1.0 + alpha * u))
+
+    def gg(l, u, args):
+        ku = jnp.zeros(ndim, dtype=u.dtype).at[ki].add(kv * u[kj])
+        return ku + l * bvec(u)
+
+    ii = np.concatenate([ki, np.arange(ndim)])
+    jj = np.concatenate([kj, np.arange(ndim)])
+
+    def jac(l, u, args):
+        b = bvec(u)
+        bp = b / (1.0 + alpha * u) ** 2
+        return jnp.concatenate([kv.astype(u.dtype), l * bp]), b
+
+    system = System(ndim, gg, jac, structure=(ii, jj))
+    # unknown index nearest the center (grid m = i + j*nx; eq maps)
+    eq = fdm.equations
+    nx = npoint
+    mctr = (nx // 2) + (nx // 2) * nx
+    mid = int(eq.e_to_iu[mctr])
+    assert mid >= 0
     return system, np.zeros(ndim), 0.0, mid

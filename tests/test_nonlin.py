@@ -186,3 +186,51 @@ def test_arclength_bratu_1d_spc_folds():
         assert len(got) == len(want), (alpha, got)
         for g, w in zip(got, want):
             assert abs(g - w) < tol, (alpha, g, w)
+
+
+def test_arclength_bratu_2d_fdm_fold():
+    """2-D Bratu on the unit square (5-point FDM + SPS): arclength
+    through the fold + extended-Newton polish. Oracle: Bolstad & Keller
+    lambda_crit = 6.80812442259 (test_bratu_problem.rs:163); at npt=17
+    the FDM discretization error is -0.0060 (pure h^2: -0.0026 at
+    npt=25), inside the reference's 0.015 tolerance for this grid."""
+    import jax
+    import jax.numpy as jnp
+
+    system, u0, l0, mid = samples.bratu_2d_fdm(17, 0.0)
+    n = system.ndim
+
+    def gu_mat(l, u):
+        vals, _ = system.calc_jac(l, u, None)
+        return jnp.zeros((n, n)).at[system.jac_ii, system.jac_jj].add(vals)
+
+    sol = Solver(Config(method=Method.ARCLENGTH), system)
+    out = Output().set_recording(list(range(n)))
+    _u, _l, status = sol.solve(u0, l0, IniDir.POS, Stop.max_comp_u(mid, 6.0),
+                               DeltaLambda.auto(0.5), output=out)
+    assert status.success()
+    ls = np.asarray(out.step_l)
+    uu = np.stack([out.step_u(m) for m in range(n)], axis=1)
+    j = int(np.argmax(ls))
+
+    m = np.asarray(gu_mat(ls[j], jnp.asarray(uu[j])))
+    w, vv = np.linalg.eig(m)
+    v = np.real(vv[:, np.argmin(np.abs(w))])
+    k = int(np.argmax(np.abs(v)))
+    z = jnp.concatenate([jnp.asarray(uu[j]), jnp.asarray(v / v[k]),
+                         jnp.asarray([ls[j]])])
+
+    def ff(z):
+        u, v, l = z[:n], z[n:2 * n], z[2 * n]
+        g = jnp.asarray(system.calc_gg(l, u, None))
+        return jnp.concatenate([g, gu_mat(l, u) @ v,
+                                jnp.asarray([v[k] - 1.0])])
+
+    for _ in range(30):
+        dz = jnp.linalg.solve(jax.jacfwd(ff)(z), -ff(z))
+        z = z + dz
+        if float(jnp.max(jnp.abs(dz))) < 1e-11:
+            break
+    lam = float(z[2 * n])
+    assert abs(lam - 6.80812442259) < 0.015
+    assert abs(lam - 6.80217410) < 1e-5  # the npt=17 discrete fold itself
