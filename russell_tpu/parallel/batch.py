@@ -17,6 +17,8 @@ from russell_tpu.sparse import factor as _factor
 
 __all__ = ["batch_factor_solve"]
 
+_fn_cache: dict = {}  # (plan id, mesh, axis) -> jitted vmapped solver
+
 
 def batch_factor_solve(mesh: Mesh, plan, batch_vals, batch_rhs, axis: str = "rows"):
     """Solve A_i x_i = b_i for a batch of same-structure systems.
@@ -24,13 +26,17 @@ def batch_factor_solve(mesh: Mesh, plan, batch_vals, batch_rhs, axis: str = "row
     ``batch_vals``: (B, nnz) entry values, ``batch_rhs``: (B, n); the batch
     axis is sharded over ``mesh`` axis ``axis``. Returns (B, n) solutions.
     """
-    sharding = NamedSharding(mesh, P(axis))
+    key = (id(plan), mesh, axis)
+    fn = _fn_cache.get(key)
+    if fn is None:
+        sharding = NamedSharding(mesh, P(axis))
 
-    def one(vals, rhs):
-        fac = _factor.numeric_factorize(plan, vals)
-        return _factor.factor_solve(plan, fac, rhs)
+        def one(vals, rhs):
+            fac = _factor.numeric_factorize(plan, vals)
+            return _factor.factor_solve(plan, fac, rhs)
 
-    fn = jax.jit(jax.vmap(one),
-                 in_shardings=(sharding, sharding),
-                 out_shardings=sharding)
+        fn = jax.jit(jax.vmap(one),
+                     in_shardings=(sharding, sharding),
+                     out_shardings=sharding)
+        _fn_cache[key] = fn
     return fn(batch_vals, batch_rhs)

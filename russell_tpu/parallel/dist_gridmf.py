@@ -46,19 +46,34 @@ def _node_shard(mesh: Mesh, axis: str):
     return shard
 
 
+# jitted wrappers keyed by (plan identity, mesh, axis): a fresh
+# jax.jit(lambda ...) per call would recompile every invocation
+_fact_cache: dict = {}
+_solve_cache: dict = {}
+
+
 def dist_gridmf_factorize(mesh: Mesh, plan: GridMfPlan, data,
                           axis: str = "rows"):
     """Numeric GRIDMF factorization with per-depth fronts sharded
     blockwise over ``mesh`` along the node axis. Returns the same fac
     pytree as ``gridmf_factorize`` (feeds ``gridmf_solve`` /
     ``dist_gridmf_solve``)."""
-    shard = _node_shard(mesh, axis)
-    return jax.jit(lambda d: gridmf_factorize(plan, d, shard=shard))(data)
+    key = (id(plan), mesh, axis)
+    fn = _fact_cache.get(key)
+    if fn is None:
+        shard = _node_shard(mesh, axis)
+        fn = jax.jit(lambda d: gridmf_factorize(plan, d, shard=shard))
+        _fact_cache[key] = fn
+    return fn(data)
 
 
 def dist_gridmf_solve(mesh: Mesh, plan: GridMfPlan, fac, b,
                       axis: str = "rows"):
     """Up/down substitution sweeps with the same node-axis sharding."""
-    shard = _node_shard(mesh, axis)
-    return jax.jit(
-        lambda f, v: gridmf_solve(plan, f, v, shard=shard))(fac, b)
+    key = (id(plan), mesh, axis)
+    fn = _solve_cache.get(key)
+    if fn is None:
+        shard = _node_shard(mesh, axis)
+        fn = jax.jit(lambda f, v: gridmf_solve(plan, f, v, shard=shard))
+        _solve_cache[key] = fn
+    return fn(fac, b)

@@ -18,6 +18,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from russell_tpu.sparse import factor as _factor
 
+_mh_fact_cache: dict = {}
+_mh_solve_cache: dict = {}
+
 __all__ = ["initialize_multihost", "shard_banded_factorize",
            "shard_banded_solve"]
 
@@ -47,8 +50,11 @@ def shard_banded_factorize(mesh: Mesh, plan, data, axis: str = "rows"):
         raise ValueError("distributed factorization requires the BCR kernel "
                          "(analyze(..., banded_kernel='bcr'))")
     sh = _block_sharding(mesh, axis)
-    fn = jax.jit(lambda d: _factor.numeric_factorize(plan, d),
-                 out_shardings=None)
+    fn = _mh_fact_cache.get(id(plan))
+    if fn is None:
+        fn = jax.jit(lambda d: _factor.numeric_factorize(plan, d),
+                     out_shardings=None)
+        _mh_fact_cache[id(plan)] = fn
     with mesh:
         fac = fn(jnp.asarray(data))
     # place the level arrays on the mesh (block axis) for the solves
@@ -71,6 +77,9 @@ def shard_banded_factorize(mesh: Mesh, plan, data, axis: str = "rows"):
 
 
 def shard_banded_solve(mesh: Mesh, plan, fac, b, axis: str = "rows"):
+    fn = _mh_solve_cache.get(id(plan))
+    if fn is None:
+        fn = jax.jit(lambda f, bb: _factor.factor_solve(plan, f, bb))
+        _mh_solve_cache[id(plan)] = fn
     with mesh:
-        return jax.jit(lambda f, bb: _factor.factor_solve(plan, f, bb))(fac,
-                                                                        b)
+        return fn(fac, b)

@@ -75,10 +75,33 @@ def bench_splu(ndev, base_points):
     return coo.nnz / dt, coo.nnz
 
 
+def bench_gridmf(ndev, base_points):
+    from russell_tpu.parallel import make_mesh, dist_gridmf_factorize
+    from russell_tpu.sparse import samples
+    from russell_tpu.sparse import gridmf as G
+
+    npts = int(base_points * np.sqrt(ndev))
+    coo = samples.laplacian_2d(npts)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    plan = G.gridmf_analyze(coo.nrow, ii, jj, (npts, npts, 1),
+                            leaf_cells=16)
+    mesh = make_mesh(ndev)
+    d = jnp.asarray(vv, dtype=jnp.float32)
+    dist_gridmf_factorize(mesh, plan, d)["logdet"].block_until_ready()
+    reps = 3
+    t = time.perf_counter()
+    for _ in range(reps):
+        f = dist_gridmf_factorize(mesh, plan, d)
+    f["logdet"].block_until_ready()
+    dt = (time.perf_counter() - t) / reps
+    return coo.nnz / dt, coo.nnz
+
+
 def main():
     ndevs = [d for d in (1, 2, 4, 8) if d <= len(jax.devices())]
     for name, bench, base in (("dist_spmv", bench_spmv, 64),
-                              ("dist_splu_factorize", bench_splu, 24)):
+                              ("dist_splu_factorize", bench_splu, 24),
+                              ("dist_gridmf_factorize", bench_gridmf, 64)):
         base_rate = None
         for nd in ndevs:
             rate, nnz = bench(nd, base)
