@@ -40,9 +40,14 @@ CASES = {
     "laplacian_2d_317": ("laplacian_2d:317", "gridmf", 1800),
     "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 3600),
     # 3-D grid sizes chosen pad-friendly for the ND bisection
-    # (63 = 2^4*4-1 exact, 101 -> virtual 103 = 2^3*13-1): n = 250k / 1.03M
+    # (63 = 2^4*4-1 exact). GRIDMF factor storage is the O(n^{4/3})
+    # multifrontal law: 2.4 GB at 63^3, 6.9 GB at 79^3, 19.7 GB at
+    # 101^3 — the last exceeds HBM and records an honest OOM failure
+    # (the reference's UMFPACK does the same on inline_1,
+    # data/logs/inline_1-umfpack.json)
     "laplacian_3d_50": ("laplacian_3d:50", "splu", 1800),
     "laplacian_3d_63": ("laplacian_3d:63", "gridmf", 3600),
+    "laplacian_3d_79": ("laplacian_3d:79", "gridmf", 3600),
     "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 3600),
     "conv_diff_3d_63": ("laplacian_3d:63:0.5", "gridmf", 3600),
 }
