@@ -419,3 +419,27 @@ def test_radau5_fused_chunked_matches_unchunked():
     assert np.array_equal(np.asarray(ya), np.asarray(yb))
     for k in sa:
         assert float(np.asarray(sa[k])) == float(np.asarray(sb[k])), k
+
+
+def test_radau5_fused_brusselator_gridmf_matches_banded():
+    """Radau5 driving the GRIDMF multifrontal backend (the npoint=513
+    headline configuration) must match the BANDED backend exactly:
+    same counters, solutions equal to fp noise. Exercises the complex
+    plane-pair GRIDMF factorization inside the fused loop."""
+    from russell_tpu.sparse.enums import Genie
+
+    res = {}
+    for genie in (Genie.GRIDMF, Genie.BANDED):
+        system, t0, y0, args = samples.brusselator_pde(2e-3, 16)
+        params = Params(Method.RADAU5)
+        params.set_tolerances(1e-4, 1e-4)
+        params.newton.genie = genie
+        sol = OdeSolver(params, system)
+        y = np.asarray(sol.solve(y0, t0, 1.0, args=None, fused=True))
+        res[genie] = (y, sol.stats())
+    yg, sg = res[Genie.GRIDMF]
+    yb, sb = res[Genie.BANDED]
+    for k in ("n_function", "n_jacobian", "n_factor", "n_lin_sol",
+              "n_steps", "n_accepted", "n_rejected"):
+        assert getattr(sg, k) == getattr(sb, k), k
+    assert np.max(np.abs(yg - yb)) < 1e-12
