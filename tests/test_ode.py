@@ -95,14 +95,24 @@ def test_radau5_mass_matrix_dae():
 
 
 def test_radau5_amplifier1t_dae():
-    # one-transistor amplifier (singular mass); oracle values from
-    # test_radau5_amplifier1t.rs (radau5.f log)
+    # one-transistor amplifier (singular mass matrix): exact radau5.f
+    # counters + solution values (test_radau5_amplifier1t.rs:31-73)
     system, x0, y0, args = samples.amplifier1t()
     params = Params(Method.RADAU5)
     params.step.h_ini = 1e-6
+    params.set_tolerances(1e-4, 1e-4)
     sol = OdeSolver(params, system)
-    y = sol.solve(y0, x0, 0.05, args=args)
-    assert np.all(np.isfinite(np.asarray(y)))
+    y = np.asarray(sol.solve(y0, x0, 0.05, args=args))
+    st = sol.stats()
+    assert abs(y[0] - (-2.226517868073645E-02)) < 1e-10
+    assert abs(y[1] - 3.068700099735197E+00) < 1e-10
+    assert abs(y[2] - 2.898340496450958E+00) < 1e-9
+    assert abs(y[3] - 2.033525366489690E+00) < 1e-7
+    assert abs(y[4] - (-2.269179823457655E+00)) < 1e-7
+    assert abs(st.h_accepted - 7.791381954171996E-04) < 1e-6
+    assert (st.n_function, st.n_jacobian, st.n_factor, st.n_lin_sol,
+            st.n_steps, st.n_accepted, st.n_rejected,
+            st.n_iterations_max) == (1511, 126, 166, 461, 166, 127, 6, 5)
 
 
 def test_brusselator_ode_radau5():
