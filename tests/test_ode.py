@@ -453,3 +453,47 @@ def test_radau5_fused_brusselator_gridmf_matches_banded():
               "n_steps", "n_accepted", "n_rejected"):
         assert getattr(sg, k) == getattr(sb, k), k
     assert np.max(np.abs(yg - yb)) < 1e-12
+
+
+def test_radau5_robertson_small_h_failure_counters():
+    # loose tolerances drive h below the minimum: the failure path must
+    # also match radau5.f exactly (test_radau5_robertson_small_h.rs)
+    system, x0, y0, args = samples.robertson()
+    params = Params(Method.RADAU5)
+    params.step.h_ini = 1e-6
+    params.set_tolerances(1e-2, 1e-2)
+    sol = OdeSolver(params, system)
+    with pytest.raises(RuntimeError, match="stepsize becomes too small"):
+        sol.solve(y0, x0, 0.3, args=args)
+    st = sol.stats()
+    assert (st.n_function, st.n_jacobian, st.n_factor, st.n_lin_sol,
+            st.n_steps, st.n_accepted, st.n_rejected,
+            st.n_iterations_max) == (520, 57, 75, 153, 75, 60, 4, 4)
+
+
+def test_bweuler_hairer_wanner_counters():
+    # fixed-step backward Euler vs the reference's recorded run
+    # (test_bweuler.rs:25-43)
+    system, x0, y0, args, _yfn = samples.hairer_wanner_eq1()
+    sol = OdeSolver(Params(Method.BW_EULER), system)
+    y = np.asarray(sol.solve(y0, x0, 1.5, args=args, h_equal=1.875 / 50.0))
+    st = sol.stats()
+    assert abs(y[0] - 0.09060476604187756) < 1e-15
+    assert (st.n_function, st.n_jacobian, st.n_factor, st.n_lin_sol,
+            st.n_steps, st.n_accepted, st.n_rejected,
+            st.n_iterations_max) == (80, 40, 40, 40, 40, 40, 0, 2)
+
+
+def test_mdeuler_hairer_wanner_counters():
+    # modified-Euler embedded pair (test_mdeuler.rs:25-41)
+    system, x0, y0, args, y_fn = samples.hairer_wanner_eq1()
+    params = Params(Method.MD_EULER)
+    params.step.h_ini = 1e-4
+    sol = OdeSolver(params, system)
+    y = np.asarray(sol.solve(y0, x0, 1.5, args=args))
+    st = sol.stats()
+    assert abs(y[0] - 0.09062475637905158) < 1e-16
+    assert abs(y[0] - float(y_fn(1.5, None)[0])) < 1e-4
+    assert (st.n_function, st.n_jacobian, st.n_factor, st.n_lin_sol,
+            st.n_steps, st.n_accepted,
+            st.n_rejected) == (424, 0, 0, 0, 212, 212, 0)
