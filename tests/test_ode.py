@@ -497,3 +497,27 @@ def test_mdeuler_hairer_wanner_counters():
     assert (st.n_function, st.n_jacobian, st.n_factor, st.n_lin_sol,
             st.n_steps, st.n_accepted,
             st.n_rejected) == (424, 0, 0, 0, 212, 212, 0)
+
+
+def test_radau5_brusselator_pde_n9_matches_mathematica():
+    # 2-D Brusselator PDE at npoint=9 vs NDSolve reference values
+    # (test_radau5_brusselator_pde.rs:10-44)
+    import json
+    import os
+    path = ("/root/reference/russell_ode/data/reference/"
+            "brusselator_pde_2d_n9_mathematica.json")
+    if not os.path.exists(path):
+        pytest.skip("reference data not available")
+    npoint = 9
+    system, t0, yy0, args = samples.brusselator_pde(2e-3, npoint)
+    params = Params(Method.RADAU5)
+    params.set_tolerances(1e-3, 1e-3)
+    sol = OdeSolver(params, system)
+    y = np.asarray(sol.solve(yy0, t0, 0.1, args=args))
+    assert sol.stats().n_function == 24
+    math = json.load(open(path))
+    ij = (npoint - 1) // 2
+    m = ij + ij * npoint
+    s = npoint * npoint
+    assert abs(y[m] - math["uu"][ij][ij]) < 1e-7
+    assert abs(y[s + m] - math["vv"][ij][ij]) < 1e-7
