@@ -23,14 +23,19 @@ from russell_tpu.pde.equation_handler import EquationHandler
 from russell_tpu.pde.grid import Grid1d, Grid2d
 from russell_tpu.sparse.coo import CooMatrix
 from russell_tpu.sparse.enums import Genie, Sym
-from russell_tpu.sparse.lin_solver import LinSolver
+from russell_tpu.sparse.lin_solver import LinSolParams, LinSolver
 
 __all__ = ["Fdm1d", "Fdm2d"]
 
 
-def _solve_coo(coo: CooMatrix, rhs: np.ndarray, genie: Genie) -> np.ndarray:
+def _solve_coo(coo: CooMatrix, rhs: np.ndarray, genie: Genie,
+               grid_hint=None) -> np.ndarray:
     solver = LinSolver(genie)
-    solver.factorize(coo)
+    params = None
+    if grid_hint is not None:
+        params = LinSolParams()
+        params.grid = grid_hint
+    solver.factorize(coo, params)
     return np.asarray(solver.solve(rhs))
 
 
@@ -77,6 +82,23 @@ class Fdm2d:
 
     def set_solver_options(self, genie: Genie, symmetric: bool = False):
         self.genie = genie
+
+    def _sps_grid_hint(self):
+        """GRIDMF structure hint for the SPS K-bar: when the unknown set
+        is exactly the interior rectangle (all-Dirichlet boundary, no
+        periodicity), the unknowns form an (ny-2, nx-2) row-major grid
+        with a reach-1 stencil — the multifrontal fast path."""
+        if self.ebcs.periodic_along_x or self.ebcs.periodic_along_y:
+            return None
+        nx, ny = self.grid.nx(), self.grid.ny()
+        if nx < 4 or ny < 4:
+            return None
+        interior = (self._i > 0) & (self._i < nx - 1) & \
+                   (self._j > 0) & (self._j < ny - 1)
+        unknown = self.equations.e_to_iu >= 0
+        if not np.array_equal(interior, unknown):
+            return None
+        return (ny - 2, nx - 2, 1)
 
     # -- shared row values ----------------------------------------------------
 
@@ -182,7 +204,7 @@ class Fdm2d:
         rhs = f_bar
         if kk_check is not None:
             rhs = f_bar - kk_check.mat_vec_mul(a_check)
-        a_bar = _solve_coo(kk_bar, rhs, self.genie)
+        a_bar = _solve_coo(kk_bar, rhs, self.genie, self._sps_grid_hint())
         return self.get_joined_vector_sps(a_bar, a_check)
 
     # -- LMM ------------------------------------------------------------------
