@@ -249,3 +249,28 @@ def test_gridmf_radau5_matches_banded():
     assert np.all(np.isfinite(yg))
     assert np.max(np.abs(yg - yb)) < 1e-6
     assert (sg, ag) == (sb, ab)
+
+
+def test_gridmf_determinant_sign():
+    # signed determinant through the multifrontal path (MUMPS ICNTL(33)
+    # analog): flip one row of the 8x8 Laplacian -> det < 0; mantissa
+    # sign and base-10 exponent must match numpy slogdet
+    from russell_tpu.sparse import CooMatrix, LinSolver, samples
+    from russell_tpu.sparse.enums import Genie
+    from russell_tpu.sparse.lin_solver import LinSolParams
+
+    coo = samples.laplacian_2d(8)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    vv = vv.copy()
+    vv[ii == 13] *= -1.0
+    m = CooMatrix.from_arrays(coo.nrow, coo.ncol, ii, jj, vv)
+    p = LinSolParams()
+    p.grid = (8, 8, 1)
+    sol = LinSolver(Genie.GRIDMF)
+    sol.factorize(m, p)
+    mant, base, expo = sol.determinant()
+    sign, logabs = np.linalg.slogdet(np.asarray(m.as_dense()))
+    assert base == 10.0
+    assert np.sign(mant) == sign == -1.0
+    got_log10 = expo + np.log10(abs(mant))
+    assert abs(got_log10 - logabs / np.log(10.0)) < 1e-8
