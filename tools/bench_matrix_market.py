@@ -106,9 +106,20 @@ def run_case(name: str) -> int:
     verify = VerifyLinSys.from_system(coo, x, rhs)
 
     st = solver.stats
+    # warm re-run: the first factorize/solve pays the one-time XLA
+    # compile (minutes over the remote tunnel); production re-factorizes
+    # the same structure, so record the steady-state numbers too
+    t0 = time.perf_counter_ns()
+    solver.factorize(coo, LinSolParams(grid=_grid_hint(spec)))
+    fact_warm = time.perf_counter_ns() - t0
+    t0 = time.perf_counter_ns()
+    solver.solve(rhs)
+    solve_warm = time.perf_counter_ns() - t0
     st.matrix["name"] = name
     st.matrix.update(nrow=coo.nrow, ncol=coo.ncol, nnz=int(coo.nnz))
     st.time_nanoseconds["read_matrix"] = t_read
+    st.time_nanoseconds["factorize_warm"] = fact_warm
+    st.time_nanoseconds["solve_warm"] = solve_warm
     st.verify = {
         "max_abs_a": verify.max_abs_a,
         "max_abs_ax": verify.max_abs_ax,
