@@ -11,8 +11,10 @@ from russell_tpu.pde.bcs import (EssentialBcs1d, EssentialBcs2d,
                                  NaturalBcs1d, NaturalBcs2d)
 from russell_tpu.pde.enums import Side
 
-__all__ = ["d1_problem_01", "d1_problem_02", "d2_problem_01",
-           "d2_problem_02", "d2_problem_03"]
+__all__ = ["d1_problem_01", "d1_problem_02", "d1_problem_03",
+           "d2_problem_01", "d2_problem_02", "d2_problem_03",
+           "d2_problem_04", "d2_problem_05", "d2_problem_06",
+           "d2_problem_07"]
 
 PI = math.pi
 
@@ -127,3 +129,93 @@ def d2_problem_03(k: float = 1.0, alpha: float = 0.0,
             nbcs.set(side, flux[side])
     source = lambda x, y: (8.0 * k * PI * PI + alpha) * analytical(x, y)
     return xmin, xmax, ymin, ymax, k, k, ebcs, nbcs, source, analytical
+
+
+def d1_problem_03():
+    """-phi'' + phi = x^2 with phi(0)=2, wn(1)=-3; analytical
+    sinh(x)/cosh(1) + x^2 + 2 (problem_samples.rs:202)."""
+    xmin, xmax, kx, alpha = 0.0, 1.0, 1.0, 1.0
+    ebcs = EssentialBcs1d()
+    nbcs = NaturalBcs1d()
+    ebcs.set(Side.XMIN, lambda x: 2.0)
+    nbcs.set(Side.XMAX, lambda x: -3.0)
+    source = lambda x: x * x
+    analytical = lambda x: math.sinh(x) / math.cosh(1.0) + x * x + 2.0
+    return xmin, xmax, kx, alpha, ebcs, nbcs, source, analytical
+
+
+def d2_problem_04(ana_nsum: int = 101):
+    """-lap(phi) = 1 on [-1,1]^2, homogeneous Dirichlet; Fourier-series
+    analytical solution (problem_samples.rs:729)."""
+    xmin, xmax, ymin, ymax = -1.0, 1.0, -1.0, 1.0
+    kx = ky = 1.0
+    ebcs = EssentialBcs2d()
+    ebcs.set_homogeneous()
+    nbcs = NaturalBcs2d()
+    source = lambda x, y: 1.0
+
+    def analytical(x, y):
+        s = 0.0
+        for k in range(1, ana_nsum, 2):
+            kp = k * PI
+            ak = kp * (1.0 + x) / 2.0
+            sak = math.sin(ak)
+            if sak != 0.0:
+                s += sak * (math.sinh(kp * (1.0 + y) / 2.0)
+                            + math.sinh(kp * (1.0 - y) / 2.0)) \
+                    / (k ** 3 * math.sinh(kp))
+        return (1.0 - x * x) / 2.0 - 16.0 * s / PI ** 3
+
+    return xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical
+
+
+def d2_problem_05():
+    """-lap(phi) = -6x on [-1,1]^2 with Dirichlet on x-sides and zero
+    flux on y-sides; analytical 1 + x^3 (problem_samples.rs:800)."""
+    xmin, xmax, ymin, ymax = -1.0, 1.0, -1.0, 1.0
+    kx = ky = 1.0
+    ebcs = EssentialBcs2d()
+    ebcs.set(Side.XMIN, lambda x, y: 0.0)
+    ebcs.set(Side.XMAX, lambda x, y: 2.0)
+    nbcs = NaturalBcs2d()
+    nbcs.set(Side.YMIN, lambda x, y: 0.0)
+    nbcs.set(Side.YMAX, lambda x, y: 0.0)
+    source = lambda x, y: -6.0 * x
+    analytical = lambda x, y: 1.0 + x ** 3
+    return xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical
+
+
+def d2_problem_06():
+    """-lap(phi) = 4 tanh(u)/cosh(u)^2 with u = 1 - x + y; mixed
+    Dirichlet/Neumann; analytical tanh(1 - x + y)
+    (problem_samples.rs:867)."""
+    xmin, xmax, ymin, ymax = -1.0, 1.0, -1.0, 1.0
+    kx = ky = 1.0
+    analytical = lambda x, y: math.tanh(1.0 - x + y)
+    ebcs = EssentialBcs2d()
+    ebcs.set(Side.XMIN, lambda x, y: math.tanh(2.0 + y))
+    ebcs.set(Side.YMIN, lambda x, y: -math.tanh(x))
+    ebcs.set(Side.YMAX, lambda x, y: math.tanh(2.0 - x))
+    nbcs = NaturalBcs2d()
+    nbcs.set(Side.XMAX, lambda x, y: 1.0 / math.cosh(y) ** 2)
+    source = lambda x, y: (4.0 * math.tanh(1.0 - x + y)
+                           / math.cosh(1.0 - x + y) ** 2)
+    return xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical
+
+
+def d2_problem_07():
+    """lap(phi) = -8 pi^2 cos(2 pi x) sin(2 pi y) — Kopriva benchmark
+    5.2.1.7; analytical cos(2 pi x) sin(2 pi y)
+    (problem_samples.rs:940)."""
+    xmin, xmax, ymin, ymax = -1.0, 1.0, -1.0, 1.0
+    kx = ky = 1.0
+    analytical = lambda x, y: math.cos(2 * PI * x) * math.sin(2 * PI * y)
+    ebcs = EssentialBcs2d()
+    ebcs.set(Side.XMIN, lambda x, y: math.sin(2 * PI * y))
+    ebcs.set(Side.XMAX, lambda x, y: math.sin(2 * PI * y))
+    ebcs.set(Side.YMIN, lambda x, y: 0.0)
+    ebcs.set(Side.YMAX, lambda x, y: 0.0)
+    nbcs = NaturalBcs2d()
+    source = lambda x, y: (8.0 * PI * PI * math.cos(2 * PI * x)
+                           * math.sin(2 * PI * y))
+    return xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical

@@ -250,3 +250,68 @@ def test_spc_map_2d_laplace_on_ring():
 
     spc.for_each_coord(cb)
     assert err < 1e-9
+
+
+def test_fdm_1d_problem_03_neumann_alpha():
+    # -phi'' + phi = x^2 with a Neumann end (test_1d_prob03_fdm.rs)
+    xmin, xmax, kx, alpha, ebcs, nbcs, src, ana = \
+        problem_samples.d1_problem_03()
+    grid = Grid1d.new_uniform(xmin, xmax, 101)
+    fdm = Fdm1d(grid, ebcs, nbcs, kx)
+    a = fdm.solve_sps(alpha, src)
+    assert _max_err_1d(fdm, a, ana) < 5e-4
+
+
+def test_spc_1d_problem_03_neumann_alpha():
+    xmin, xmax, kx, alpha, ebcs, nbcs, src, ana = \
+        problem_samples.d1_problem_03()
+    spc = Spc1d(xmin, xmax, 12, ebcs, nbcs, kx)
+    a = spc.solve_sps(alpha, src)
+    assert _max_err_1d(spc, a, ana) < 1e-10  # spectral
+
+
+def test_fdm_2d_problem_04_fourier_series():
+    # -lap(phi) = 1, homogeneous Dirichlet; Fourier-series analytic
+    # (test_2d_prob04_fdm.rs)
+    (xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, src, ana) = \
+        problem_samples.d2_problem_04(201)
+    grid = Grid2d.new_uniform(xmin, xmax, ymin, ymax, 33, 33)
+    fdm = Fdm2d(grid, ebcs, nbcs, kx, ky)
+    a = fdm.solve_sps(0.0, src)
+    assert _max_err_2d(fdm, a, ana) < 5e-4
+
+
+def test_fdm_2d_problem_05_cubic_neumann():
+    # phi = 1 + x^3 with zero-flux y-sides: FDM is near-exact up to h^2
+    # truncation of x^3 (test_2d_prob05_fdm.rs)
+    (xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, src, ana) = \
+        problem_samples.d2_problem_05()
+    grid = Grid2d.new_uniform(xmin, xmax, ymin, ymax, 41, 41)
+    fdm = Fdm2d(grid, ebcs, nbcs, kx, ky)
+    a = fdm.solve_sps(0.0, src)
+    assert _max_err_2d(fdm, a, ana) < 2e-3
+
+
+def test_fdm_and_spc_2d_problem_06_tanh_mixed():
+    # phi = tanh(1 - x + y), Dirichlet on 3 sides + flux on Xmax
+    # (test_2d_prob06_{fdm,spc}.rs)
+    (xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, src, ana) = \
+        problem_samples.d2_problem_06()
+    grid = Grid2d.new_uniform(xmin, xmax, ymin, ymax, 41, 41)
+    fdm = Fdm2d(grid, ebcs, nbcs, kx, ky)
+    a = fdm.solve_sps(0.0, src)
+    assert _max_err_2d(fdm, a, ana) < 2e-3
+
+    spc = Spc2d(xmin, xmax, ymin, ymax, 16, 16, ebcs, nbcs, kx, ky)
+    a_s = spc.solve_sps(0.0, src)
+    assert _max_err_2d(spc, a_s, ana) < 1e-7  # spectral
+
+
+def test_spc_2d_problem_07_kopriva():
+    # Kopriva benchmark 5.2.1.7: phi = cos(2 pi x) sin(2 pi y)
+    # (test_2d_prob07_spc.rs)
+    (xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, src, ana) = \
+        problem_samples.d2_problem_07()
+    spc = Spc2d(xmin, xmax, ymin, ymax, 24, 24, ebcs, nbcs, kx, ky)
+    a = spc.solve_sps(0.0, src)
+    assert _max_err_2d(spc, a, ana) < 1e-9
