@@ -12,6 +12,7 @@ from russell_tpu.pde.bcs import (EssentialBcs1d, EssentialBcs2d,
 from russell_tpu.pde.enums import Side
 
 __all__ = ["d1_problem_01", "d1_problem_02", "d1_problem_03",
+           "d1_problem_04a", "d1_problem_04b", "d1_problem_05",
            "d2_problem_01", "d2_problem_02", "d2_problem_03",
            "d2_problem_04", "d2_problem_05", "d2_problem_06",
            "d2_problem_07"]
@@ -219,3 +220,56 @@ def d2_problem_07():
     source = lambda x, y: (8.0 * PI * PI * math.cos(2 * PI * x)
                            * math.sin(2 * PI * y))
     return xmin, xmax, ymin, ymax, kx, ky, ebcs, nbcs, source, analytical
+
+
+def d1_problem_04a():
+    """phi'' = exp(4x) on [-1,1], homogeneous Dirichlet (Trefethen
+    Program 13; problem_samples.rs:266). kx = -1 makes the operator
+    +d2/dx2."""
+    xmin, xmax, kx = -1.0, 1.0, -1.0
+    ebcs = EssentialBcs1d()
+    ebcs.set_homogeneous()
+    nbcs = NaturalBcs1d()
+    source = lambda x: math.exp(4.0 * x)
+    analytical = lambda x: (math.exp(4.0 * x) - math.sinh(4.0) * x
+                            - math.cosh(4.0)) / 16.0
+    return xmin, xmax, kx, ebcs, nbcs, source, analytical
+
+
+def d1_problem_04b():
+    """phi'' = exp(4x) with a zero-flux left end
+    (problem_samples.rs:325)."""
+    xmin, xmax, kx = -1.0, 1.0, -1.0
+    ebcs = EssentialBcs1d()
+    ebcs.set(Side.XMAX, lambda x: 0.0)
+    nbcs = NaturalBcs1d()
+    nbcs.set(Side.XMIN, lambda x: 0.0)
+    source = lambda x: math.exp(4.0 * x)
+    analytical = lambda x: (math.exp(4.0 * x)
+                            - 4.0 * math.exp(-4.0) * (x - 1.0)
+                            - math.exp(4.0)) / 16.0
+    return xmin, xmax, kx, ebcs, nbcs, source, analytical
+
+
+def d1_problem_05(beta: float, ll: float, g0: float, phi_ll: float):
+    """phi'' + beta^2 phi = 0 (solve with alpha = beta^2, kx = -1):
+    flux g0 at x=0, phi(ll) prescribed (problem_samples.rs:393).
+    Returns (..., source, analytical, ana_flow)."""
+    xmin, xmax, kx = 0.0, ll, -1.0
+    ebcs = EssentialBcs1d()
+    nbcs = NaturalBcs1d()
+    ebcs.set(Side.XMAX, lambda x: phi_ll)
+    nbcs.set(Side.XMIN, lambda x: -g0)
+    source = lambda x: 0.0
+
+    def analytical(x):
+        c1 = g0 / beta
+        c2 = (phi_ll - c1 * math.sin(beta * ll)) / math.cos(beta * ll)
+        return c1 * math.sin(beta * x) + c2 * math.cos(beta * x)
+
+    def ana_flow(x):
+        return (-kx) * ((g0 * math.cos(beta * (ll - x))
+                         - beta * phi_ll * math.sin(beta * x))
+                        / math.cos(beta * ll))
+
+    return xmin, xmax, kx, ebcs, nbcs, source, analytical, ana_flow

@@ -315,3 +315,38 @@ def test_spc_2d_problem_07_kopriva():
     spc = Spc2d(xmin, xmax, ymin, ymax, 24, 24, ebcs, nbcs, kx, ky)
     a = spc.solve_sps(0.0, src)
     assert _max_err_2d(spc, a, ana) < 1e-9
+
+
+def test_spc_1d_problem_04ab_trefethen():
+    # Trefethen Program 13 (test_1d_prob04_{fdm,spc}.rs)
+    for prob in (problem_samples.d1_problem_04a,
+                 problem_samples.d1_problem_04b):
+        xmin, xmax, kx, ebcs, nbcs, src, ana = prob()
+        spc = Spc1d(xmin, xmax, 24, ebcs, nbcs, kx)
+        a = spc.solve_sps(0.0, src)
+        assert _max_err_1d(spc, a, ana) < 1e-9, prob
+        grid = Grid1d.new_uniform(xmin, xmax, 201)
+        fdm = Fdm1d(grid, ebcs, nbcs, kx)
+        af = fdm.solve_sps(0.0, src)
+        assert _max_err_1d(fdm, af, ana) < 5e-4, prob
+
+
+def test_fdm_spc_1d_problem_05_helmholtz_flux():
+    # phi'' + beta^2 phi = 0, flux-driven left end
+    # (test_1d_prob05_{fdm,spc}.rs)
+    beta, ll, g0, phi_ll = 1.25, 1.0, 0.5, 2.0
+    xmin, xmax, kx, ebcs, nbcs, src, ana, flow = \
+        problem_samples.d1_problem_05(beta, ll, g0, phi_ll)
+    spc = Spc1d(xmin, xmax, 16, ebcs, nbcs, kx)
+    a = spc.solve_sps(beta * beta, src)
+    assert _max_err_1d(spc, a, ana) < 1e-10
+    q = spc.calculate_flow_vectors(a)
+    err = 0.0
+    for m in range(spc.grid.size()):
+        x = spc.map_coord(spc.grid.coord(m))
+        err = max(err, abs(q[m] - flow(x)))
+    assert err < 1e-8
+    grid = Grid1d.new_uniform(xmin, xmax, 201)
+    fdm = Fdm1d(grid, ebcs, nbcs, kx)
+    af = fdm.solve_sps(beta * beta, src)
+    assert _max_err_1d(fdm, af, ana) < 1e-4
