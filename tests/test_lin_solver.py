@@ -591,3 +591,67 @@ def test_error_analysis_and_condition_numbers():
     b2 = np.linspace(1.0, 2.0, coo2.nrow)
     s2.solve(b2)
     assert s2.stats.mumps_stats["backward_error_omega1"] < 1e-12
+
+
+def test_newton_nonlinear_system_through_lin_solver():
+    """4-eq Newton iteration re-factorizing the frozen-structure
+    Jacobian every step (russell_sparse/tests/test_nonlinear_system.rs:
+    same residual/Jacobian, same per-iteration iterate table, converges
+    in exactly 5 iterations)."""
+    from russell_tpu.sparse import CooMatrix, LinSolver
+
+    def residual(u):
+        d1, d2, d3, d4 = u
+        return np.array([
+            2*d1 + d1**4 + d2 + 3*d1*d2*d2 - 9*d4 + d4**4 - 0.2,
+            d1 + 3*d1*d1*d2 + 10*d2 + 4*d2*d2 + 2*d2*d3 - 8*d3 + 7*d4 + 0.1,
+            -8*d2 + d2*d2 + 3*d3 + d3*d3 + 2*d4,
+            -9*d1 + 4*d1*d4**3 + 7*d2 + 2*d3 + 5*d4 - 0.5])
+
+    def jacobian(jj, u):
+        d1, d2, d3, d4 = u
+        jj.reset()
+        jj.put(0, 0, 2 + 4*d1**3 + 3*d2*d2)
+        jj.put(0, 1, 1 + 6*d1*d2)
+        jj.put(0, 2, 0.0)
+        jj.put(0, 3, -9 + 4*d4**3)
+        jj.put(1, 0, 1 + 6*d1*d2)
+        jj.put(1, 1, 10 + 3*d1*d1 + 8*d2 + 2*d3)
+        jj.put(1, 2, -8 + 2*d2)
+        jj.put(1, 3, 7.0)
+        jj.put(2, 0, 0.0)
+        jj.put(2, 1, -8 + 2*d2)
+        jj.put(2, 2, 3 + 2*d3)
+        jj.put(2, 3, 2.0)
+        jj.put(3, 0, -9 + 4*d4**3)
+        jj.put(3, 1, 7.0)
+        jj.put(3, 2, 2.0)
+        jj.put(3, 3, 5 + 12*d1*d4*d4)
+
+    uu_ref = np.array([
+        [0.000000, 0.000000, 0.000000, 0.000000],
+        [-0.236393, -0.106230, -0.225574, -0.086557],
+        [-0.196773, -0.079071, -0.171604, -0.074904],
+        [-0.194395, -0.077412, -0.168376, -0.074249],
+        [-0.194386, -0.077406, -0.168364, -0.074246],
+        [-0.194386, -0.077406, -0.168364, -0.074246]])
+
+    jj = CooMatrix(4, 4, 16)
+    jacobian(jj, np.zeros(4))
+    solver = LinSolver()
+    u = np.zeros(4)
+    norm0 = None
+    it = 0
+    while it < 10:
+        rr = residual(u)
+        err = 1.0 if it == 0 else np.linalg.norm(rr) / norm0
+        if it == 0:
+            norm0 = np.linalg.norm(rr)
+        np.testing.assert_allclose(u, uu_ref[it], atol=1e-6)
+        if err < 1e-13:
+            break
+        jacobian(jj, u)
+        solver.factorize(jj)      # same structure: numeric-only re-run
+        u = u - np.asarray(solver.solve(rr))
+        it += 1
+    assert it == 5
