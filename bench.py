@@ -26,7 +26,9 @@ import numpy as np
 def _wait_for_chip(max_tries: int = 12) -> None:
     """The attached TPU worker sometimes restarts for minutes; a client
     that connects while it is down hangs forever. Probe from SUBPROCESSES
-    (killable) until a trivial computation succeeds."""
+    (killable) until a trivial computation succeeds. If the worker never
+    comes back, print the one honest-failure JSON line and exit — the
+    main process would otherwise hang forever inside backend init."""
     import subprocess
     probe = ("import jax, jax.numpy as jnp; "
              "print(float(jnp.sum(jnp.ones(4))))")
@@ -39,6 +41,10 @@ def _wait_for_chip(max_tries: int = 12) -> None:
         except subprocess.TimeoutExpired:
             pass
         time.sleep(60)
+    print(json.dumps({
+        "metric": "brusselator_pde_radau5_FAILED_tpu_worker_down",
+        "value": -1.0, "unit": "s", "vs_baseline": 0.0}))
+    sys.exit(0)
 
 
 def main() -> None:
