@@ -124,13 +124,26 @@ def analyze(
         # leaf_cells budget ~64 -> 16x16-cell (2-D) / 4x4x4-cell (3-D)
         # leaves after padding: at npoint=513 (ndim 526k, s=2) the stored
         # factors are 1.8 GB/plane f32, vs 0.9 GB with leaf_cells=16 —
-        # smaller leaves trade two more batched-GEMM levels for memory
+        # smaller leaves trade two more batched-GEMM levels for memory.
+        # HBM-aware: when the estimated f32 factor store exceeds
+        # RUSSELL_TPU_GRIDMF_MEM_GB (the MUMPS ICNTL(23)/cuDSS hybrid-
+        # memory analog), retry with smaller leaves before giving up
         import os as _os
-        leaf = int(_os.environ.get("RUSSELL_TPU_GRIDMF_LEAF", "64"))
+        leaf_env = _os.environ.get("RUSSELL_TPU_GRIDMF_LEAF")
+        budget_gb = float(_os.environ.get("RUSSELL_TPU_GRIDMF_MEM_GB",
+                                          "4.0"))
+        candidates = ([int(leaf_env)] if leaf_env else [64, 16])
+        gplan = None
         try:
-            gplan = _gridmf.gridmf_analyze(n, rows, cols, grid,
-                                           leaf_cells=leaf,
-                                           pivot_epsilon=pivot_epsilon)
+            for leaf in candidates:
+                gplan = _gridmf.gridmf_analyze(n, rows, cols, grid,
+                                               leaf_cells=leaf,
+                                               pivot_epsilon=pivot_epsilon)
+                store_gb = 4.0 * sum(
+                    lv.n_nodes * (lv.e * lv.e + 2 * lv.r * lv.e)
+                    for lv in gplan.levels) / 2 ** 30
+                if store_gb <= budget_gb or leaf == candidates[-1]:
+                    break
         except ValueError:
             if genie == Genie.GRIDMF:
                 raise
