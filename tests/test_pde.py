@@ -350,3 +350,58 @@ def test_fdm_spc_1d_problem_05_helmholtz_flux():
     fdm = Fdm1d(grid, ebcs, nbcs, kx)
     af = fdm.solve_sps(beta * beta, src)
     assert _max_err_1d(fdm, af, ana) < 1e-4
+
+
+def _half_ring_map(a, b_):
+    """Half annulus r in [a, b], theta in [0, pi] (half_ring_2d of
+    transfinite_samples.rs:257)."""
+    def th(s):
+        return (s + 1.0) * math.pi / 2.0
+
+    h = math.pi / 2.0
+    B = [lambda s: np.array([a * math.cos(th(s)), a * math.sin(th(s))]),
+         lambda s: np.array([b_ * math.cos(th(s)), b_ * math.sin(th(s))]),
+         lambda r: np.array([a + (b_ - a) * (r + 1.0) / 2.0, 0.0]),
+         lambda r: np.array([-a - (b_ - a) * (r + 1.0) / 2.0, 0.0])]
+    dB = [lambda s: np.array([-a * math.sin(th(s)) * h,
+                              a * math.cos(th(s)) * h]),
+          lambda s: np.array([-b_ * math.sin(th(s)) * h,
+                              b_ * math.cos(th(s)) * h]),
+          lambda r: np.array([(b_ - a) / 2.0, 0.0]),
+          lambda r: np.array([-(b_ - a) / 2.0, 0.0])]
+    ddB = [lambda s: np.array([-a * math.cos(th(s)) * h * h,
+                               -a * math.sin(th(s)) * h * h]),
+           lambda s: np.array([-b_ * math.cos(th(s)) * h * h,
+                               -b_ * math.sin(th(s)) * h * h]),
+           lambda r: np.array([0.0, 0.0]),
+           lambda r: np.array([0.0, 0.0])]
+    return Transfinite2d(B, dB, ddB)
+
+
+def test_spc_map_2d_flow_past_cylinder():
+    # d2_problem_09 (test_2d_prob09_spc.rs): potential flow past a
+    # cylinder on the half ring, phi = (r + ra^2/r) v_inf cos(theta);
+    # Dirichlet at the far field, zero flux on the cylinder and walls
+    ra, rb, v_inf = 0.5, 10.0, 0.5
+    tr = _half_ring_map(ra, rb)
+
+    def ana(x, y):
+        r = math.hypot(x, y)
+        return (r + ra * ra / r) * v_inf * math.cos(math.atan2(y, x))
+
+    ebcs = EssentialBcs2d()
+    ebcs.set(Side.XMAX, ana)
+    nbcs = NaturalBcs2d()
+    nbcs.set(Side.XMIN, lambda x, y: 0.0)
+    nbcs.set(Side.YMIN, lambda x, y: 0.0)
+    nbcs.set(Side.YMAX, lambda x, y: 0.0)
+    spc = SpcMap2d(11, 11, tr, ebcs, nbcs, k=-1.0)
+    a = spc.solve_sps(0.0, lambda x, y: 0.0)
+    err = 0.0
+
+    def cb(m, x, y):
+        nonlocal err
+        err = max(err, abs(a[m] - ana(x, y)))
+
+    spc.for_each_coord(cb)
+    assert err < 2.22e-2  # the reference's nn=10 tolerance
