@@ -10,7 +10,8 @@ import jax.numpy as jnp
 from russell_tpu.nonlin.system import System
 
 __all__ = ["simple_linear_problem", "two_eq_ref", "one_eq_with_fold_point",
-           "circle_ul", "two_eq_nr_prob_1", "bratu_1d_spc", "bratu_2d_fdm"]
+           "circle_ul", "two_eq_nr_prob_1", "bratu_1d_spc", "bratu_2d_fdm",
+           "cubic_poly_1", "cubic_poly_2", "singular_initial_state"]
 
 
 def simple_linear_problem():
@@ -189,3 +190,48 @@ def bratu_2d_fdm(npoint: int = 17, alpha: float = 0.0):
     mid = int(eq.e_to_iu[mctr])
     assert mid >= 0
     return system, np.zeros(ndim), 0.0, mid
+
+
+def cubic_poly_1():
+    """u^3 - 2u - 2 = 0 (samples.rs:65): Newton trials that converge
+    (u=1), oscillate (u=0), and start at the stationary point
+    (u=sqrt(2/3)). Reference root 1.76929235423863."""
+    def gg(l, u, args):
+        return u * u * u - 2.0 * u - 2.0
+
+    def jac(l, u, args):
+        return 3.0 * u * u - 2.0, jnp.zeros(1)
+
+    system = System(1, gg, jac, structure=([0], [0]))
+    u_ok = np.array([1.0])
+    u_oscillation = np.array([0.0])
+    u_indeterminate = np.array([math.sqrt(2.0 / 3.0)])
+    u_reference = np.array([1.76929235423863])
+    return system, u_ok, u_oscillation, u_indeterminate, u_reference
+
+
+def cubic_poly_2():
+    """(u - 1)^3 + 0.512 = 0 (samples.rs:106): slow one-sided Newton
+    convergence toward u = 0.2."""
+    def gg(l, u, args):
+        return (u - 1.0) ** 3 + 0.512
+
+    def jac(l, u, args):
+        return 3.0 * (u - 1.0) ** 2, jnp.zeros(1)
+
+    system = System(1, gg, jac, structure=([0], [0]))
+    return system, np.array([5.0]), np.array([0.2])
+
+
+def singular_initial_state(alpha: float, perturbation: float):
+    """G = u^alpha - lambda with dG/du singular at u -> 0 for alpha < 1
+    (samples.rs:309); lambda_ana(u) = u^alpha."""
+    def gg(l, u, args):
+        return u ** alpha - l
+
+    def jac(l, u, args):
+        return alpha * u ** (alpha - 1.0), -jnp.ones(1)
+
+    system = System(1, gg, jac, structure=([0], [0]))
+    lambda_ana = lambda uu: uu ** alpha
+    return system, np.array([perturbation]), 0.0, lambda_ana

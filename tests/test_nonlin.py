@@ -234,3 +234,46 @@ def test_arclength_bratu_2d_fdm_fold():
     lam = float(z[2 * n])
     assert abs(lam - 6.80812442259) < 0.015
     assert abs(lam - 6.80217410) < 1e-5  # the npt=17 discrete fold itself
+
+
+def test_newton_cubic_poly_cases():
+    # cubic_poly_1 (test_newton_problems.rs): convergent trial reaches
+    # the reference root; oscillating and stationary-point trials fail
+    # with a max-iterations status instead of hanging
+    system, u_ok, u_osc, u_ind, u_ref = samples.cubic_poly_1()
+    config = Config(method=Method.NATURAL, euler_predictor=False)
+    u, _l, status = Solver(config, system).solve(
+        u_ok, 0.0, IniDir.POS, Stop.steps(1), DeltaLambda.constant(1.0))
+    assert status.success()
+    np.testing.assert_allclose(u, u_ref, atol=1e-10)
+
+    for bad in (u_osc, u_ind):
+        _u, _l, status = Solver(config, system).solve(
+            bad, 0.0, IniDir.POS, Stop.steps(1), DeltaLambda.constant(1.0))
+        assert status.failure(), bad
+
+    # cubic_poly_2: slow but convergent one-sided Newton
+    system2, u5, u_ref2 = samples.cubic_poly_2()
+    config2 = Config(method=Method.NATURAL, euler_predictor=False,
+                     n_iteration_max=60)
+    u2, _l, status2 = Solver(config2, system2).solve(
+        u5, 0.0, IniDir.POS, Stop.steps(1), DeltaLambda.constant(1.0))
+    assert status2.success()
+    np.testing.assert_allclose(u2, u_ref2, atol=1e-7)
+
+
+def test_arclength_singular_initial_state():
+    # G = u^(1/3) - lambda: dG/du blows up at u -> 0; the arclength
+    # path from a tiny perturbation must stay on lambda = u^(1/3)
+    # (test_arc_singular_initial_state.rs)
+    for perturbation in (1e-6, 0.05):
+        system, u0, l0, lam_ana = samples.singular_initial_state(
+            1.0 / 3.0, perturbation)
+        config = Config(method=Method.ARCLENGTH)
+        out = Output().set_recording([0])
+        u, l, status = Solver(config, system).solve(
+            u0, l0, IniDir.POS, Stop.steps(5), DeltaLambda.constant(0.5),
+            output=out)
+        assert status.success()
+        for ui, li in zip(out.step_u(0)[1:], out.step_l[1:]):
+            assert abs(li - lam_ana(ui)) < 1e-10
