@@ -277,3 +277,24 @@ def test_arclength_singular_initial_state():
         assert status.success()
         for ui, li in zip(out.step_u(0)[1:], out.step_l[1:]):
             assert abs(li - lam_ana(ui)) < 1e-10
+
+
+def test_multiple_calls_to_solve():
+    # a Solver must be reusable: a second solve from the converged state
+    # finishes in one iteration with fresh stats
+    # (test_multiple_calls_to_solve.rs)
+    system, u_ok, _o, _i, u_ref = samples.cubic_poly_1()
+    config = Config(method=Method.NATURAL, euler_predictor=False)
+    solver = Solver(config, system)
+    u, l, status = solver.solve(u_ok, 0.0, IniDir.POS, Stop.steps(1),
+                                DeltaLambda.constant(1.0))
+    assert status.success()
+    np.testing.assert_allclose(u, u_ref, atol=1e-10)
+    it1 = solver.work.stats.n_iteration_total
+
+    u2, _l, status2 = solver.solve(u, l, IniDir.POS, Stop.steps(1),
+                                   DeltaLambda.constant(1.0))
+    assert status2.success()
+    np.testing.assert_allclose(u2, u_ref, atol=1e-12)
+    assert solver.work.stats.n_iteration_total <= 1  # already converged
+    assert it1 > 1
