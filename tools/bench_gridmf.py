@@ -58,10 +58,17 @@ def run_one(npoint: int, leaf: int, cpu: bool = False) -> None:
     jv = np.asarray(jac_fn(0.0, jnp.asarray(y0), None))
     diag = np.asarray(ii) == np.asarray(jj)
     kr = jnp.asarray((3637.0 * diag - jv).astype(np.float32))
-    kc = jnp.asarray(((2681.0 + 3050.0j) * diag - jv).astype(np.complex64))
+    # complex64 HOST<->DEVICE transfers are UNIMPLEMENTED on the axon
+    # backend (both directions): ship the real/imag planes as f32 and
+    # combine on device inside the jit (the production Radau5 path does
+    # the same — the shifted complex matrix only ever exists in-trace).
+    kc_re = jnp.asarray((2681.0 * diag - jv).astype(np.float32))
+    kc_im = jnp.asarray((3050.0 * diag).astype(np.float32))
     b = jnp.asarray(np.linspace(1.0, 2.0, n).astype(np.float32))
 
     fact = jax.jit(lambda d: gridmf.gridmf_factorize(plan, d))
+    factc = jax.jit(lambda re, im: gridmf.gridmf_factorize(
+        plan, jax.lax.complex(re, im)))
     solve = jax.jit(lambda f, v: gridmf.gridmf_solve(plan, f, v))
 
     t = time.perf_counter()
@@ -79,10 +86,10 @@ def run_one(npoint: int, leaf: int, cpu: bool = False) -> None:
     warm_sol = time.perf_counter() - t
 
     t = time.perf_counter()
-    fc = jax.block_until_ready(fact(kc))
+    fc = jax.block_until_ready(factc(kc_re, kc_im))
     cold_c = time.perf_counter() - t
     t = time.perf_counter()
-    fc = jax.block_until_ready(fact(kc))
+    fc = jax.block_until_ready(factc(kc_re, kc_im))
     warm_c = time.perf_counter() - t
     del fc
 
