@@ -11,7 +11,8 @@ from russell_tpu.nonlin.system import System
 
 __all__ = ["simple_linear_problem", "two_eq_ref", "one_eq_with_fold_point",
            "circle_ul", "two_eq_nr_prob_1", "bratu_1d_spc", "bratu_2d_fdm",
-           "cubic_poly_1", "cubic_poly_2", "singular_initial_state"]
+           "cubic_poly_1", "cubic_poly_2", "singular_initial_state",
+           "bspline_problem_1"]
 
 
 def simple_linear_problem():
@@ -235,3 +236,50 @@ def singular_initial_state(alpha: float, perturbation: float):
     system = System(1, gg, jac, structure=([0], [0]))
     lambda_ana = lambda uu: uu ** alpha
     return system, np.array([perturbation]), 0.0, lambda_ana
+
+
+def bspline_problem_1(snap_back_delta: float = 1.5):
+    """G(u, lambda) = u - C(lambda): follow a 2-D quadratic B-spline curve
+    whose control point P3 snaps back by ``snap_back_delta``, creating a
+    fold/turning-point structure (samples.rs:348 bspline_problem_1).
+
+    TPU-first formulation: the host precomputes the exact per-span
+    quadratic polynomial coefficients of C(t) from :class:`~russell_tpu.
+    algo.misc.Bspline` (degree 2 => each knot span is an exact quadratic),
+    and ``gg``/``jac`` evaluate them branch-free with a searchsorted span
+    select — fully jittable, no Cox-de Boor recursion in-trace.
+    """
+    from russell_tpu.algo.misc import Bspline
+
+    knots = [0.0, 0.0, 0.0, 0.4, 0.6, 1.0, 1.0, 1.0]
+    control = np.array([[0.0, 0.0], [0.5, 1.0], [1.75, 1.0],
+                        [2.0 - snap_back_delta, 0.0], [2.5, 0.5]])
+    bs = Bspline(2, knots).set_control_points(control)
+    spans = [(0.0, 0.4), (0.4, 0.6), (0.6, 1.0)]
+    coef = np.zeros((len(spans), 2, 3))  # span x coord x (t^2, t, 1)
+    for s, (a, b) in enumerate(spans):
+        ts = np.linspace(a, b, 3)
+        pts = np.array([bs.calc_point(t) for t in ts])  # (3, 2)
+        coef[s] = np.linalg.solve(np.vander(ts, 3), pts).T
+    coef_j = jnp.asarray(coef)
+    breaks = jnp.asarray([sp[0] for sp in spans[1:]])
+
+    def _curve_and_deriv(l):
+        t = jnp.clip(l, 0.0, 1.0)
+        s = jnp.searchsorted(breaks, t, side="right")
+        c = jnp.take(coef_j, s, axis=0)  # (2, 3)
+        point = (c[:, 0] * t + c[:, 1]) * t + c[:, 2]
+        deriv = 2.0 * c[:, 0] * t + c[:, 1]
+        return point, deriv
+
+    def gg(l, u, args):
+        point, _ = _curve_and_deriv(l)
+        return u - point
+
+    def jac(l, u, args):
+        _, deriv = _curve_and_deriv(l)
+        return jnp.ones(2, dtype=u.dtype), -deriv
+
+    system = System(2, gg, jac, structure=([0, 1], [0, 1]))
+    curve_ana = lambda t: np.array([float(v) for v in bs.calc_point(t)])
+    return system, np.array([0.0, 0.0]), 0.0, curve_ana

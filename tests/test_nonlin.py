@@ -298,3 +298,22 @@ def test_multiple_calls_to_solve():
     np.testing.assert_allclose(u2, u_ref, atol=1e-12)
     assert solver.work.stats.n_iteration_total <= 1  # already converged
     assert it1 > 1
+
+
+def test_bspline_problem_1_arclength_traces_snap_back():
+    # samples.rs:348 bspline_problem_1 + the arclength_bspline example:
+    # follow G = u - C(lambda) through the snap-back to C(1)
+    system, u0, l0, curve = samples.bspline_problem_1(1.5)
+    system.check_ggu(0.3, np.asarray(curve(0.3)), None, 1e-10)
+    config = Config(method=Method.ARCLENGTH)
+    config.bordering = False
+    config.tg_control_tol = 0.2
+    solver = Solver(config, system)
+    out = Output().set_recording([0, 1])
+    u, l, status = solver.solve(u0, l0, IniDir.POS, Stop.max_lambda(1.0),
+                                DeltaLambda.auto(0.01), output=out)
+    assert status.success()
+    for ux, uy, li in zip(out.step_u(0), out.step_u(1), out.step_l):
+        cx, cy = curve(min(1.0, max(0.0, li)))
+        assert abs(ux - cx) < 1e-6 and abs(uy - cy) < 1e-6
+    np.testing.assert_allclose(np.asarray(u), curve(1.0), atol=1e-8)
