@@ -18,5 +18,5 @@ st = solver.stats()
 print(st.summary())
 exact = math.e - 2.0
 print(f"y(1) = {float(y[0]):.12f}, exact = {exact:.12f}")
-assert abs(float(y[0]) - exact) < 1e-8
+assert abs(float(y[0]) - exact) < 1e-7
 print("ok")

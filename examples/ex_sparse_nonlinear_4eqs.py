@@ -60,7 +60,7 @@ for genie in (Genie.DENSE, Genie.SPLU):
               f"{u[3]:>13.6f}{err:>15.6e}")
         if err < 1e-13:
             break
-    # factorize the fresh Jacobian (structure frozen across iterations)
+        # factorize the fresh Jacobian (structure frozen across iterations)
         jacobian(jj, u)
         solver.factorize(jj)
         u = u - np.asarray(solver.solve(rr))
