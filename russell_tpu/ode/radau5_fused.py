@@ -12,8 +12,15 @@ policy, and the statistics counters — all as traced state. The returned
 counters follow the same update rules as the host path (validated against
 it in tests/test_ode.py).
 
-No dense output / callbacks here; use the host path when an Output is
-attached.
+Dense output IS supported in-fused (reference contract:
+russell_ode/src/radau5.rs:669 collocation polynomial + output.rs:269-285
+stations): pass ``dense_x`` (a static, sorted station grid including the
+endpoints) and the while_loop carries an ``(n_out, ndim)`` station buffer,
+scattering the collocation polynomial of each accepted step into the
+stations it covers — the exact same arithmetic as the host path's
+``Radau5.dense_output``. Callbacks/file-writing are played back by the
+driver AFTER the device computation (they cannot run mid-trace); a
+callback that returns True stops the playback, not the integration.
 """
 
 from __future__ import annotations
@@ -31,9 +38,18 @@ _R5 = radau5_constants()
 EPS = 2.220446049250313e-16
 
 
-def build_fused_solver(stepper, params, chunk=None):
+def build_fused_solver(stepper, params, chunk=None, dense_x=None):
     """Returns ``solve(x0, y0, x1, h0) -> (y, stats_dict)`` closed over a
     Radau5 stepper's kernels (structure-frozen plan).
+
+    ``dense_x`` (optional): static sorted station grid INCLUDING x0 and
+    x1 (the Output.initialize layout). The state then carries
+    ``dense_y (n_out, ndim)`` + ``dense_h (n_out,)`` buffers: station 0
+    is filled with y0 at init, interior stations are scattered on each
+    accepted step from the collocation polynomial (identical arithmetic
+    to Radau5.dense_output), and the LAST station is left for the driver
+    to fill with the final y (output.rs `last()` contract). Memory cost
+    is n_out*ndim*8 bytes carried in HBM — size stations accordingly.
 
     ``chunk`` bounds the number of outer steps per DEVICE CALL: the
     attached TPU's worker kills single executions that run for minutes,
@@ -98,6 +114,16 @@ def build_fused_solver(stepper, params, chunk=None):
     # wall-clock target per device call; the worker kills ~60 s runs
     chunk_target_s = float(_os.environ.get("RUSSELL_TPU_FUSED_TARGET_S",
                                            "25.0"))
+
+    with_dense = dense_x is not None
+    if with_dense:
+        dense_x_np = np.asarray(dense_x, dtype=np.float64)
+        n_out = dense_x_np.shape[0]
+        if n_out < 2:
+            raise ValueError("dense_x must include x0 and x1")
+        # the last station is filled by the driver with the final y
+        # (output.rs last()); it must never be written by the scatter
+        _dense_scatter_ok = np.arange(n_out) < n_out - 1
 
     def factorize(jv, h, dtype):
         alpha, beta, gamma = A / h, B / h, G / h
@@ -258,6 +284,13 @@ def build_fused_solver(stepper, params, chunk=None):
             "n_iterations_max": jnp.zeros((), jnp.int32),
             "iter_count": jnp.zeros((), jnp.int32),
         }
+        if with_dense:
+            # station 0 = (x0, y0) with the initial h (output.rs:423
+            # first-execute record)
+            state["dense_y"] = (jnp.zeros((n_out, ndim), dtype=dtype)
+                                .at[0].set(y0))
+            state["dense_h"] = (jnp.zeros((n_out,), dtype=dtype)
+                                .at[0].set(h0))
         return state
 
     def cond(s):
@@ -405,7 +438,29 @@ def build_fused_solver(stepper, params, chunk=None):
                     scal2 = abs_tol + rel_tol * jnp.abs(y_new)
                     k_acc2 = f(x_new, y_new, None)
                     last = x_new + h_new_eff >= s["x1"]
-                    return {**s, "x": x_new, "y": y_new, "yc": yc,
+                    dense_upd = {}
+                    if with_dense:
+                        xs = jnp.asarray(dense_x_np, dtype=y_new.dtype)
+                        # the host records station i the first time
+                        # x_out <= x holds after an accept (output.rs:269);
+                        # with the identical step sequence that is exactly
+                        # (x_old < x_out <= x_new)
+                        mask = ((xs > s["x"]) & (xs <= x_new)
+                                & jnp.asarray(_dense_scatter_ok))
+                        srel = (xs - x_new) / h  # in [-1, 0]
+                        pol = (y_new[None, :]
+                               + srel[:, None]
+                               * (yc[0][None, :]
+                                  + (srel[:, None] - MU4)
+                                  * (yc[1][None, :]
+                                     + (srel[:, None] - MU3)
+                                     * yc[2][None, :])))
+                        dense_upd["dense_y"] = jnp.where(
+                            mask[:, None], pol, s["dense_y"])
+                        dense_upd["dense_h"] = jnp.where(
+                            mask, h, s["dense_h"])
+                    return {**s, **dense_upd,
+                            "x": x_new, "y": y_new, "yc": yc,
                             "h_prev": h, "h_new": h_new_eff,
                             "rel_error": rel,
                             "rel_error_prev": jnp.maximum(
@@ -497,6 +552,10 @@ def build_fused_solver(stepper, params, chunk=None):
                   "n_function", "n_jacobian", "n_factor", "n_lin_sol",
                   "n_iterations", "n_iterations_max")}
         stats["h_accepted"] = st["h_new"]
+        if with_dense:
+            stats["dense_y"] = st["dense_y"]
+            stats["dense_h"] = st["dense_h"]
+            stats["h_prev"] = st["h_prev"]
         return st["y"], stats
 
     return solve

@@ -65,9 +65,12 @@ class OdeSolver:
               args=None, output=None, fused: bool = False):
         """Integrate from (x0, y0) to x1; returns the final y.
 
-        ``fused=True`` (Radau5, no output, no h_equal) runs the whole
+        ``fused=True`` (Radau5 or embedded ERK, no h_equal) runs the whole
         variable-step integration as ONE device computation
         (radau5_fused.py) — the fast path for remote/large problems.
+        An attached Output with DENSE stations is supported under Radau5
+        (the station buffer rides the device loop; callbacks/files are
+        played back after the solve); step recording needs fused=False.
         """
         if fused:
             return self._solve_fused(y0, x0, x1, args, output, h_equal)
@@ -195,13 +198,15 @@ class OdeSolver:
                 "variable stepping did not converge with n_step_max steps")
         return y
 
-    def _build_fused(self, chunk=None):
+    def _build_fused(self, chunk=None, dense_x=None):
         """Pick the whole-integration fused builder for the current method:
         Radau5 (radau5_fused.py) or any embedded ERK (erk_fused.py)."""
         if self.params.method == Method.RADAU5:
             from russell_tpu.ode.radau5_fused import build_fused_solver
             return build_fused_solver(self.actual, self.params,
-                                      chunk=chunk)
+                                      chunk=chunk, dense_x=dense_x)
+        if dense_x is not None:
+            raise ValueError("fused dense output requires Radau5")
         if (isinstance(self.actual, ExplicitRungeKutta)
                 and self.actual.info.embedded):
             from russell_tpu.ode.erk_fused import build_fused_erk_solver
@@ -210,13 +215,32 @@ class OdeSolver:
                          "explicit Runge-Kutta method")
 
     def _solve_fused(self, y0, x0, x1, args, output, h_equal):
-        if output is not None or h_equal is not None:
-            raise ValueError("fused solve does not support output/h_equal")
+        if h_equal is not None:
+            raise ValueError("fused solve does not support h_equal")
         if args is not None:
             raise ValueError("fused solve requires args=None (close over "
                              "static data in the system functions)")
-        if self._fused_fn is None:
-            self._fused_fn = self._build_fused()
+        dense_x = None
+        if output is not None:
+            # the fused loop runs entirely on device: only dense STATIONS
+            # can be carried through the trace; step callbacks/recording
+            # need the host-stepped path
+            if (output.step_callback is not None
+                    or output.step_file_key is not None
+                    or output.step_recording
+                    or self.params.stiffness.save_results):
+                raise ValueError(
+                    "fused solve supports dense output only (no step "
+                    "recording/callbacks/stiffness); use fused=False")
+            output.initialize(x0, x1, False)
+            if not output.with_dense_output():
+                raise ValueError("the attached Output has no dense output "
+                                 "configured; use fused=False")
+            dense_x = np.asarray(output.dense_x(), dtype=np.float64)
+        key = None if dense_x is None else tuple(dense_x.tolist())
+        if self._fused_fn is None or getattr(self, "_fused_key", "?") != key:
+            self._fused_fn = self._build_fused(dense_x=dense_x)
+            self._fused_key = key
         h0 = min(self.params.step.h_ini, x1 - x0)
         y0 = jnp.asarray(y0)
         y, st = self._fused_fn(jnp.asarray(x0, dtype=y0.dtype), y0,
@@ -239,7 +263,43 @@ class OdeSolver:
             raise RuntimeError(
                 "variable stepping did not converge with n_step_max steps")
         self._check_finite(y)
+        if output is not None:
+            self._playback_dense(output, st, y)
         return y
+
+    def _playback_dense(self, output, st, y_final):
+        """Replay the device-filled station buffer through the Output's
+        callback/file/recording hooks in station order (the streaming
+        order of output.rs:269-285; a True-returning callback stops the
+        playback — the integration has already finished)."""
+        from russell_tpu.ode.output import OutCount, OutData
+        dense = np.array(st["dense_y"], dtype=np.float64)
+        hh = np.array(st["dense_h"], dtype=np.float64)
+        xs = output.dense_x()
+        n = len(xs)
+        # last station: final y at the last accepted h (output.rs last())
+        dense[n - 1] = np.asarray(y_final, dtype=np.float64)
+        hh[n - 1] = float(st["h_prev"])
+        stats = self.work.stats
+        stopped = False
+        for i in range(n):
+            if output.dense_callback is not None:
+                if output.dense_callback(stats, hh[i], xs[i], dense[i],
+                                         None):
+                    stopped = True
+                    break
+            if output.dense_file_key is not None:
+                OutData(hh[i], xs[i], dense[i]).write_json(
+                    f"{output.dense_file_key}_"
+                    f"{output.dense_file_count}.json")
+                output.dense_file_count += 1
+            if output.dense_recording:
+                for m, ym in output._dense_y.items():
+                    ym[i] = float(dense[i][m])
+        output.dense_index = n - 1
+        if output.dense_file_key is not None and not stopped:
+            OutCount(output.dense_file_count).write_json(
+                f"{output.dense_file_key}_count.json")
 
     def solve_batch(self, y0_batch, x0, x1, h0: Optional[float] = None):
         """Solve the SAME system from many initial conditions concurrently:
