@@ -32,6 +32,10 @@ class Genie(enum.Enum):
     # regular-grid nested-dissection multifrontal: batched congruent
     # dense fronts, every hot op a large MXU GEMM (needs a grid hint)
     GRIDMF = "gridmf"
+    # general-matrix nested-dissection multifrontal: manufactured
+    # congruence by (depth, e, r) size-class bucketing — the fast path
+    # for irregular patterns (no grid hint needed)
+    GENMF = "genmf"
 
     @staticmethod
     def from_name(name: str) -> "Genie":

@@ -42,6 +42,7 @@ from russell_tpu.sparse.ordering import bandwidth, rcm_ordering
 from russell_tpu.sparse import splu as _splu
 from russell_tpu.sparse import bcr as _bcr
 from russell_tpu.sparse import gridmf as _gridmf
+from russell_tpu.sparse import genmf as _genmf
 
 __all__ = ["SolvePlan", "analyze", "numeric_factorize", "factor_solve"]
 
@@ -70,6 +71,8 @@ class SolvePlan:
     splu_plan: Optional["_splu.SpluPlan"] = None
     # GRIDMF (regular-grid nested-dissection multifrontal):
     gridmf_plan: Optional["_gridmf.GridMfPlan"] = None
+    # GENMF (general-matrix nested-dissection multifrontal):
+    genmf_plan: Optional["_genmf.GenMfPlan"] = None
     # options
     scaling: Scaling = Scaling.MAX
     pivot_epsilon: float = 1e-14
@@ -137,12 +140,16 @@ def analyze(
         try:
             for leaf in candidates:
                 gplan = _gridmf.gridmf_analyze(n, rows, cols, grid,
-                                               leaf_cells=leaf,
-                                               pivot_epsilon=pivot_epsilon)
+                                               pivot_epsilon=pivot_epsilon,
+                                               leaf_cells=leaf)
                 store_gb = 4.0 * sum(
                     lv.n_nodes * (lv.e * lv.e + 2 * lv.r * lv.e)
                     for lv in gplan.levels) / 2 ** 30
-                if store_gb <= budget_gb or leaf == candidates[-1]:
+                # charge the Radau5 real+complex pair (3 f32 planes):
+                # measured 2026-08-19, npoint=513 leaf=64 (1.82 GB/plane)
+                # OOMs on the complex factorize while leaf=16 (0.93)
+                # runs the pair comfortably
+                if 3.0 * store_gb <= budget_gb or leaf == candidates[-1]:
                     break
         except ValueError:
             if genie == Genie.GRIDMF:
@@ -165,11 +172,27 @@ def analyze(
         if n <= dense_threshold:
             genie = Genie.DENSE
         else:
-            # prefer BANDED when the RCM bandwidth is small; else SPLU
+            # prefer BANDED when the RCM bandwidth is small; else the
+            # general multifrontal (GENMF): batched dense fronts beat
+            # SPLU's per-row gather-bound scan on irregular patterns
             perm_try = rcm_ordering(n, rows, cols)
             bw_try = min(bandwidth(rows, cols), bandwidth(rows, cols,
                                                           perm_try))
-            genie = Genie.BANDED if bw_try <= max_block else Genie.SPLU
+            genie = Genie.BANDED if bw_try <= max_block else Genie.GENMF
+
+    if genie == Genie.GENMF:
+        import os as _os
+        leaf = int(_os.environ.get("RUSSELL_TPU_GENMF_LEAF", "96"))
+        gplan = _genmf.genmf_analyze(n, rows, cols, leaf_target=leaf,
+                                     pivot_epsilon=pivot_epsilon)
+        return SolvePlan(Genie.GENMF, n, rows, cols,
+                         genmf_plan=gplan,
+                         scaling=Scaling.MAX if scaling == Scaling.AUTO
+                         else scaling,
+                         pivot_epsilon=pivot_epsilon,
+                         refine_steps=max(refine_steps, 2),
+                         effective_ordering="nd-general",
+                         mixed32=mixed_precision)
 
     if genie == Genie.DENSE:
         return SolvePlan(Genie.DENSE, n, rows, cols,
@@ -554,6 +577,15 @@ def numeric_factorize(plan: SolvePlan, data):
         fac["cs"] = cs
         fac["data"] = data
         return fac
+    if plan.genie == Genie.GENMF:
+        data, rs, cs = _equilibrate(plan, data)
+        fac = _genmf.genmf_factorize(
+            plan.genmf_plan,
+            data.astype(_factor_dtype(plan, data.dtype)))
+        fac["rs"] = rs
+        fac["cs"] = cs
+        fac["data"] = data
+        return fac
     raise ValueError(f"unsupported genie {plan.genie}")
 
 
@@ -631,6 +663,11 @@ def _solve_once(plan: SolvePlan, fac, b):
         out_dtype = fac["data"].dtype
         y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
         x = _gridmf.gridmf_solve(plan.gridmf_plan, fac, y)
+        return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
+    if plan.genie == Genie.GENMF:
+        out_dtype = fac["data"].dtype
+        y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
+        x = _genmf.genmf_solve(plan.genmf_plan, fac, y)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
     if plan.use_bcr:
         return _banded_solve_bcr(plan, fac, b)

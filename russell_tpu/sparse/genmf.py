@@ -1,0 +1,620 @@
+"""General-matrix nested-dissection multifrontal solver (GENMF).
+
+Extends GRIDMF's winning idea — congruent dense fronts processed as one
+batched MXU pipeline per stage — to ARBITRARY sparse patterns (the role
+of MUMPS/UMFPACK on irregular matrices, e.g. the reference's Raj1 /
+ASIC_680k benchmark logs, russell_sparse/data/logs/Raj1_MUMPS.json).
+Where GRIDMF exploits exact congruence of a regular grid's separators,
+GENMF builds a nested-dissection tree on the general adjacency graph and
+*manufactures* congruence by bucketing fronts into padded size classes:
+
+- **host symbolic**: recursive vertex bisection (George–Liu: pseudo-
+  peripheral BFS, median level-set separator, trimmed to vertices that
+  actually face the far side). Each tree node eliminates its separator
+  (or leaf remainder) and keeps the boundary ``N(subtree) \\ subtree``
+  — by the separator property that boundary is contained in the
+  parent's ``elim ∪ keep``, which makes the child→parent extend-add a
+  position map. Nodes are grouped into (depth, e_pad, r_pad) classes
+  with geometric padding, so every class runs one batched dense
+  pipeline; padded pivot slots get a unit diagonal (logdet 0), padded
+  keep slots stay identically zero end to end.
+- **device numeric**: per class (deepest first): assemble entries (one
+  pre-summed scatter-add), extend-add children Schur complements (two
+  ``take_along_axis`` gathers per child-class link + one leading-axis
+  scatter-add), invert the pivot block (``splu._inv_block``: recursive
+  Schur, MUMPS-style static pivot clamping), panel + Schur complement
+  as batched MXU einsums. Complex runs as real/imag PLANES (Karatsuba
+  matmuls) exactly like GRIDMF — complex64 host transfers are
+  unimplemented on the attached backend.
+
+Unlike GRIDMF's per-depth CONSTANT embedding (a compile-time one-hot),
+the per-node maps here are data gathers — the price of generality.
+Everything else (the flop-dominant pivot inversion and Schur GEMMs)
+stays batched dense on the MXU, which is what removes SPLU's ~300 ns
+per-row gather bound on this backend (see sparse/splu.py notes).
+
+Reference role: analyze/factorize/solve of MUMPS on general matrices
+(interface_mumps.c JOB_ANALYZE/FACTORIZE/SOLVE); orderings analog:
+enums.rs Ordering::Metis (nested dissection).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from russell_tpu.sparse.splu import _inv_block
+from russell_tpu.sparse.gridmf import _mm, _inv_planes
+
+__all__ = ["GenMfPlan", "genmf_analyze", "genmf_factorize", "genmf_solve"]
+
+
+# ---------------------------------------------------------------------------
+# host symbolic phase
+# ---------------------------------------------------------------------------
+
+
+def _adjacency(n: int, rows: np.ndarray, cols: np.ndarray):
+    """Symmetrized, dedup'd CSR adjacency of the pattern, no diagonal."""
+    m = rows != cols
+    r = np.concatenate([rows[m], cols[m]])
+    c = np.concatenate([cols[m], rows[m]])
+    key = np.unique(r * np.int64(n) + c)
+    r = (key // n).astype(np.int64)
+    c = (key % n).astype(np.int64)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(r, minlength=n), out=indptr[1:])
+    return indptr, c
+
+
+def _neighbors(indptr, adj, verts):
+    """All neighbors of ``verts`` (with duplicates)."""
+    starts = indptr[verts]
+    counts = indptr[verts + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.repeat(starts, counts) + (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(np.cumsum(counts) - counts, counts))
+    return adj[idx]
+
+
+def _bfs_levels(indptr, adj, inset, start, level):
+    """BFS level structure within ``inset`` from ``start``; fills
+    ``level`` (callers pre-reset their region to -1). Returns
+    (levels list of vertex arrays, last frontier's last vertex)."""
+    level[start] = 0
+    frontier = np.array([start], dtype=np.int64)
+    levels = [frontier]
+    while True:
+        nbr = _neighbors(indptr, adj, frontier)
+        nbr = nbr[inset[nbr] & (level[nbr] < 0)]
+        if len(nbr) == 0:
+            break
+        nbr = np.unique(nbr)
+        level[nbr] = len(levels)
+        levels.append(nbr)
+        frontier = nbr
+    return levels
+
+
+@dataclass
+class _Node:
+    elim: np.ndarray      # eliminated vars (separator or leaf), sorted
+    keep: np.ndarray      # boundary N(subtree)\subtree, sorted
+    parent: int           # node index or -1
+    depth: int
+
+
+def _build_tree(n, indptr, adj, leaf_target) -> List[_Node]:
+    """Nested-dissection tree by recursive level-set bisection."""
+    nodes: List[_Node] = []
+    level = np.full(n, -1, dtype=np.int64)
+    inset = np.zeros(n, dtype=bool)
+    all_verts = np.arange(n, dtype=np.int64)
+    # task: (verts, keep, parent, depth)
+    stack = [(all_verts, np.zeros(0, dtype=np.int64), -1, 0)]
+    while stack:
+        verts, keep, parent, depth = stack.pop()
+        if len(verts) <= leaf_target:
+            nodes.append(_Node(np.sort(verts), keep, parent, depth))
+            continue
+        inset[verts] = True
+        level[verts] = -1
+        # pseudo-peripheral start: min-degree seed, two BFS sweeps
+        degs = indptr[verts + 1] - indptr[verts]
+        start = verts[int(np.argmin(degs))]
+        levels = _bfs_levels(indptr, adj, inset, start, level)
+        if len(levels[-1]):
+            level[verts] = -1
+            levels = _bfs_levels(indptr, adj, inset, levels[-1][-1], level)
+        nreach = sum(len(lv) for lv in levels)
+        if nreach < len(verts):
+            # disconnected: recurse per piece (no separator between them)
+            inset[verts] = False
+            reached = np.concatenate(levels)
+            um = np.ones(n, dtype=bool)
+            um[reached] = False
+            unreached = verts[um[verts]]
+            for piece in (reached, unreached):
+                # pieces are unions of components of the induced
+                # subgraph, so N(piece)\piece never touches verts: it is
+                # a subset of keep(V)
+                pk = np.setdiff1d(np.unique(_neighbors(indptr, adj, piece)),
+                                  piece, assume_unique=False)
+                stack.append((piece, np.sort(pk), parent, depth))
+            continue
+        if len(levels) < 3:
+            # connected, diameter < 2: cannot bisect — emit as one node
+            inset[verts] = False
+            nodes.append(_Node(np.sort(verts), keep, parent, depth))
+            continue
+        # median level split
+        sizes = np.array([len(lv) for lv in levels])
+        cum = np.cumsum(sizes)
+        half = int(np.searchsorted(cum, nreach // 2))
+        half = min(max(half, 1), len(levels) - 2)
+        sep0 = levels[half]
+        # trim: separator members with no neighbor beyond the split line
+        # belong to the near side (George–Liu minimal separator step)
+        nbrs = _neighbors(indptr, adj, sep0)
+        counts = indptr[sep0 + 1] - indptr[sep0]
+        far = inset[nbrs] & (level[nbrs] > half)
+        seg = np.repeat(np.arange(len(sep0)), counts)
+        faces_far = np.bincount(seg[far], minlength=len(sep0)) > 0
+        sep = sep0[faces_far]
+        if len(sep) == 0:
+            sep = sep0
+            faces_far = np.ones(len(sep0), dtype=bool)
+        a_side = np.concatenate(levels[:half] + [sep0[~faces_far]])
+        b_side = np.concatenate(levels[half + 1:])
+        inset[verts] = False
+        me = len(nodes)
+        nodes.append(_Node(np.sort(sep), keep, parent, depth))
+        for side in (a_side, b_side):
+            if len(side) == 0:
+                continue
+            sk = np.setdiff1d(np.unique(_neighbors(indptr, adj, side)),
+                              side, assume_unique=False)
+            stack.append((side, np.sort(sk), me, depth + 1))
+    return nodes
+
+
+_BUCKETS = np.array(
+    [1, 2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768,
+     1024, 1536, 2048, 3072, 4096, 6144, 8192, 12288, 16384, 24576, 32768],
+    dtype=np.int64)
+
+
+def _bucket(v: int) -> int:
+    i = int(np.searchsorted(_BUCKETS, max(v, 1)))
+    if i < len(_BUCKETS):
+        return int(_BUCKETS[i])
+    return int(-(-v // 1024) * 1024)
+
+
+@dataclass
+class _GLink:
+    """Extend-add of one child class's Schur into one parent class."""
+
+    src: int                   # child class index
+    parent_slot: np.ndarray    # (m,) rows in the parent class batch
+    child_slot: np.ndarray     # (m,) rows in the child class batch
+    inv: np.ndarray            # (m, F_parent): child keep pos or r_src(=0)
+    fwd: np.ndarray            # (m, r_src): parent front pos or F_parent(=0)
+
+
+@dataclass
+class _GClass:
+    """One (depth, e_pad, r_pad) congruence class (host arrays)."""
+
+    depth: int
+    e: int
+    r: int
+    n_nodes: int
+    elim_var: np.ndarray = None     # (n_nodes, e) global var or n (pad)
+    pad_diag: np.ndarray = None     # flat idx into (n_nodes*F*F): +1.0
+    asm_idx: np.ndarray = None
+    asm_off: int = 0
+    asm_len: int = 0
+    links: List[_GLink] = field(default_factory=list)
+
+    @property
+    def F(self):
+        return self.e + self.r
+
+
+@dataclass
+class GenMfPlan:
+    """Symbolic output. ``classes`` is ordered deepest-first (the device
+    elimination order); links always point from a later (deeper) class
+    to an earlier one."""
+
+    n: int
+    classes: List[_GClass] = field(default_factory=list)
+    entry_perm: np.ndarray = None
+    entry_seg: np.ndarray = None
+    n_uniq: int = 0
+    pivot_epsilon: float = 1e-14
+    flops: int = 0                   # factorization flop estimate
+    store_f32_gb: float = 0.0        # per-plane factor storage
+
+    def stats_dict(self):
+        return {"n_classes": len(self.classes),
+                "n_fronts": int(sum(c.n_nodes for c in self.classes)),
+                "flops": int(self.flops),
+                "store_f32_gb": round(self.store_f32_gb, 3)}
+
+
+def genmf_analyze(n: int, rows, cols, leaf_target: int = 96,
+                  pivot_epsilon: float = 1e-14) -> GenMfPlan:
+    """Symbolic phase for a general pattern (no grid hint needed)."""
+    rows = np.asarray(rows, dtype=np.int64)
+    cols = np.asarray(cols, dtype=np.int64)
+    indptr, adj = _adjacency(n, rows, cols)
+    nodes = _build_tree(n, indptr, adj, leaf_target)
+
+    # var -> (home node, elim position)
+    home = np.full(n, -1, dtype=np.int64)
+    epos = np.full(n, -1, dtype=np.int64)
+    for t, nd in enumerate(nodes):
+        home[nd.elim] = t
+        epos[nd.elim] = np.arange(len(nd.elim))
+    assert np.all(home >= 0), "every var must be eliminated exactly once"
+
+    # classes
+    cls_of: Dict[Tuple[int, int, int], int] = {}
+    classes: List[_GClass] = []
+    node_cls = np.zeros(len(nodes), dtype=np.int64)
+    node_slot = np.zeros(len(nodes), dtype=np.int64)
+    for t, nd in enumerate(nodes):
+        key = (nd.depth, _bucket(len(nd.elim)), _bucket(len(nd.keep))
+               if len(nd.keep) else 0)
+        if key not in cls_of:
+            cls_of[key] = len(classes)
+            classes.append(_GClass(depth=key[0], e=key[1], r=key[2],
+                                   n_nodes=0))
+        ci = cls_of[key]
+        node_cls[t] = ci
+        node_slot[t] = classes[ci].n_nodes
+        classes[ci].n_nodes += 1
+
+    # order classes deepest-first; links then always point backwards
+    order = sorted(range(len(classes)),
+                   key=lambda i: (-classes[i].depth, i))
+    rank = np.zeros(len(classes), dtype=np.int64)
+    for newi, oldi in enumerate(order):
+        rank[oldi] = newi
+    classes = [classes[i] for i in order]
+    node_cls = rank[node_cls]
+
+    # per-class buffers
+    for c in classes:
+        c.elim_var = np.full((c.n_nodes, c.e), n, dtype=np.int64)
+        c._pd = []
+    for t, nd in enumerate(nodes):
+        c = classes[node_cls[t]]
+        sl = node_slot[t]
+        e_real = len(nd.elim)
+        c.elim_var[sl, :e_real] = nd.elim
+        if e_real < c.e:
+            F = c.F
+            pd = (sl * F + np.arange(e_real, c.e)) * F \
+                + np.arange(e_real, c.e)
+            c._pd.append(pd)
+    for c in classes:
+        c.pad_diag = (np.concatenate(c._pd).astype(np.int64)
+                      if c._pd else np.zeros(0, dtype=np.int64))
+        del c._pd
+
+    # entry assembly: home node of an entry is the DEEPER endpoint's node
+    depth_of = np.array([nd.depth for nd in nodes], dtype=np.int64)
+    di = depth_of[home[rows]]
+    dj = depth_of[home[cols]]
+    hn = np.where(di >= dj, home[rows], home[cols])
+    # keep slots start at the CLASS-PADDED e, not the node's real e
+    epad_of = np.array([classes[node_cls[t]].e for t in range(len(nodes))],
+                       dtype=np.int64)
+    keep_off = np.zeros(len(nodes) + 1, dtype=np.int64)
+    keep_off[1:] = np.cumsum([len(nd.keep) for nd in nodes])
+    keep_cat = (np.concatenate([nd.keep for nd in nodes])
+                if keep_off[-1] else np.zeros(0, dtype=np.int64))
+
+    def pos_in(vals, hn):
+        """Front position of each var within its (padded) home front;
+        vectorized per-segment binary search over concatenated keeps."""
+        pos = np.empty(len(vals), dtype=np.int64)
+        is_elim = home[vals] == hn
+        pos[is_elim] = epos[vals[is_elim]]
+        rest = np.nonzero(~is_elim)[0]
+        if len(rest):
+            h = hn[rest]
+            v = vals[rest]
+            lo = keep_off[h]
+            hi = keep_off[h + 1]
+            l, r = lo.copy(), hi.copy()
+            while np.any(l < r):
+                mid = (l + r) // 2
+                go_r = keep_cat[np.minimum(mid, len(keep_cat) - 1)] < v
+                l = np.where((l < r) & go_r, mid + 1, l)
+                r = np.where((l < r) & ~go_r, mid, r)
+            found = (l < hi) & (keep_cat[np.minimum(
+                l, max(len(keep_cat) - 1, 0))] == v)
+            assert np.all(found), "entry endpoint outside home front"
+            pos[rest] = epad_of[h] + (l - lo)
+        return pos
+
+    pi = pos_in(rows, hn)
+    pj = pos_in(cols, hn)
+
+    # global flat key: (class rank, slot, pi, pj)
+    Fs = np.array([c.F for c in classes], dtype=np.int64)
+    cls_e = node_cls[hn]
+    F_e = Fs[cls_e]
+    flat = (node_slot[hn] * F_e + pi) * F_e + pj
+    stride = int(flat.max()) + 2 if len(flat) else 2
+    key = cls_e * stride + flat
+    order_e = np.argsort(key, kind="stable")
+    uk, seg = np.unique(key[order_e], return_inverse=True)
+    ud = uk // stride
+    uflat = uk % stride
+    for ci, c in enumerate(classes):
+        sel = ud == ci
+        c.asm_idx = uflat[sel].astype(np.int64)
+        c.asm_off = int(np.searchsorted(ud, ci, side="left"))
+        c.asm_len = int(sel.sum())
+
+    # child -> parent links grouped by (parent class, child class)
+    groups: Dict[Tuple[int, int], list] = {}
+    for t, nd in enumerate(nodes):
+        if nd.parent < 0 or len(nd.keep) == 0:
+            continue
+        p = nd.parent
+        pc, cc = int(node_cls[p]), int(node_cls[t])
+        groups.setdefault((pc, cc), []).append((p, t))
+    for (pc, cc), pairs in groups.items():
+        P, C = classes[pc], classes[cc]
+        m = len(pairs)
+        inv = np.full((m, P.F), C.r, dtype=np.int64)
+        fwd = np.full((m, C.r), P.F, dtype=np.int64)
+        pslot = np.empty(m, dtype=np.int64)
+        cslot = np.empty(m, dtype=np.int64)
+        for i, (p, t) in enumerate(pairs):
+            pn, cn = nodes[p], nodes[t]
+            pslot[i] = node_slot[p]
+            cslot[i] = node_slot[t]
+            # map child keep vars into the parent's (elim ++ keep) front
+            kv = cn.keep
+            in_elim = home[kv] == p
+            ppos = np.empty(len(kv), dtype=np.int64)
+            ppos[in_elim] = epos[kv[in_elim]]
+            if np.any(~in_elim):
+                j = np.searchsorted(pn.keep, kv[~in_elim])
+                assert np.all((j < len(pn.keep))
+                              & (pn.keep[np.minimum(j, len(pn.keep) - 1)]
+                                 == kv[~in_elim])), \
+                    "child keep var outside parent front"
+                ppos[~in_elim] = P.e + j  # keep slots start at padded e
+            inv[i, ppos] = np.arange(len(kv))
+            fwd[i, :len(kv)] = ppos
+        P.links.append(_GLink(src=cc, parent_slot=pslot, child_slot=cslot,
+                              inv=inv, fwd=fwd))
+
+    flops = 0
+    store = 0
+    for c in classes:
+        e, r, m = c.e, c.r, c.n_nodes
+        flops += m * (2 * e ** 3 + 2 * r * e * e + 2 * r * e * r)
+        store += m * (e * e + 2 * r * e)
+    plan = GenMfPlan(n=n, classes=classes,
+                     entry_perm=order_e.astype(np.int64),
+                     entry_seg=seg.astype(np.int64), n_uniq=len(uk),
+                     pivot_epsilon=pivot_epsilon, flops=int(flops),
+                     store_f32_gb=store * 4 / 2 ** 30)
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# device numeric phase
+# ---------------------------------------------------------------------------
+
+
+def _presum(plan: GenMfPlan, data):
+    d = data[jnp.asarray(plan.entry_perm)]
+    return jax.ops.segment_sum(d, jnp.asarray(plan.entry_seg),
+                               num_segments=plan.n_uniq,
+                               indices_are_sorted=True)
+
+
+def _assemble(c: _GClass, uniq, dtype, ghost=True):
+    F = c.F
+    flat = jnp.zeros(c.n_nodes * F * F, dtype=dtype)
+    if ghost and len(c.pad_diag):
+        flat = flat.at[jnp.asarray(c.pad_diag)].add(1.0)
+    if c.asm_len:
+        vals = jax.lax.dynamic_slice(uniq, (c.asm_off,), (c.asm_len,))
+        flat = flat.at[jnp.asarray(c.asm_idx)].add(vals.astype(dtype))
+    return flat.reshape(c.n_nodes, F, F)
+
+
+def _gather_schur(link: _GLink, S):
+    """(m, F_p, F_p) block of one child class's padded Schur."""
+    Spad = jnp.pad(S, ((0, 0), (0, 1), (0, 1)))
+    sub = Spad[jnp.asarray(link.child_slot)]
+    inv = jnp.asarray(link.inv)
+    g = jnp.take_along_axis(sub, inv[:, :, None], axis=1)
+    return jnp.take_along_axis(g, inv[:, None, :], axis=2)
+
+
+def _gather_vec(link: _GLink, v):
+    vpad = jnp.pad(v, ((0, 0), (0, 1)))
+    sub = vpad[jnp.asarray(link.child_slot)]
+    return jnp.take_along_axis(sub, jnp.asarray(link.inv), axis=1)
+
+
+def genmf_factorize(plan: GenMfPlan, data, shard=None):
+    """Batched multifrontal factorization over the size classes.
+    Jittable for a fixed plan; SPLU/GRIDMF-compatible fac surface."""
+    if shard is None:
+        shard = lambda a: a
+    data = jnp.asarray(data)
+    cplx = jnp.iscomplexobj(data)
+    rdt = jnp.real(data).dtype
+    if cplx:
+        uniq_re = _presum(plan, jnp.real(data))
+        uniq_im = _presum(plan, jnp.imag(data))
+    else:
+        uniq_re = _presum(plan, data)
+        uniq_im = None
+    delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(rdt)
+
+    store = [None] * len(plan.classes)
+    schur_re: Dict[int, jnp.ndarray] = {}
+    schur_im: Dict[int, jnp.ndarray] = {}
+    ld = jnp.zeros((), rdt)
+    mp = jnp.asarray(jnp.inf, rdt)
+    npc = jnp.zeros((), jnp.int32)
+    ph = jnp.ones((), rdt)
+    for ci, c in enumerate(plan.classes):
+        fr = shard(_assemble(c, uniq_re, rdt))
+        fi = shard(_assemble(c, uniq_im, rdt, ghost=False)) if cplx else None
+        for link in c.links:
+            # index (don't pop): a child class may feed parents in
+            # SEVERAL classes; under tracing, liveness is dataflow-based
+            ps = jnp.asarray(link.parent_slot)
+            fr = fr.at[ps].add(_gather_schur(link, schur_re[link.src]))
+            if cplx:
+                fi = fi.at[ps].add(
+                    _gather_schur(link, schur_im[link.src]))
+        e = c.e
+        Sr, Si = fr[:, :e, :e], (fi[:, :e, :e] if cplx else None)
+        Br, Bi = fr[:, :e, e:], (fi[:, :e, e:] if cplx else None)
+        Cr, Ci = fr[:, e:, :e], (fi[:, e:, :e] if cplx else None)
+        Rr, Ri = fr[:, e:, e:], (fi[:, e:, e:] if cplx else None)
+        SIr, SIi, ld_d, mp_d, np_d, ph_d = _inv_planes(Sr, Si, delta)
+        SIr = shard(SIr)
+        SIi = shard(SIi) if SIi is not None else None
+        if c.r:
+            Lr, Li = _mm(Cr, Ci, SIr, SIi)
+            Ur, Ui = _mm(Lr, Li, Br, Bi)
+            schur_re[ci] = shard(Rr - Ur)
+            if cplx:
+                schur_im[ci] = shard(Ri - Ui)
+        else:
+            Lr = Li = None
+        store[ci] = {"sir": SIr, "sii": SIi, "lr": Lr, "li": Li,
+                     "br": Br if c.r else None, "bi": Bi if c.r else None}
+        ld = ld + ld_d
+        mp = jnp.minimum(mp, mp_d)
+        npc = npc + np_d
+        ph = ph * ph_d.astype(rdt) if not cplx else ph
+    return {"classes": store, "logdet": ld, "phase": ph, "min_pivot": mp,
+            "n_perturbed": npc}
+
+
+def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
+    """x = A^{-1} b: up-sweep (rhs elimination, deepest classes first)
+    then down-sweep (back-substitution). Jittable."""
+    if shard is None:
+        shard = lambda a: a
+    bvec = jnp.asarray(bvec)
+    first = next(st for st in fac["classes"] if st["sir"] is not None)
+    cplx = first["sii"] is not None
+    rdt = first["sir"].dtype
+    if cplx:
+        bp_re = jnp.concatenate([jnp.real(bvec).astype(rdt),
+                                 jnp.zeros(1, rdt)])
+        bp_im = jnp.concatenate([jnp.imag(bvec).astype(rdt),
+                                 jnp.zeros(1, rdt)])
+    else:
+        bp_re = jnp.concatenate([bvec.astype(rdt), jnp.zeros(1, rdt)])
+        bp_im = None
+
+    fe_st = [None] * len(plan.classes)
+    fk_re: Dict[int, jnp.ndarray] = {}
+    fk_im: Dict[int, jnp.ndarray] = {}
+    for ci, c in enumerate(plan.classes):
+        st = fac["classes"][ci]
+        e = c.e
+        fr = jnp.zeros((c.n_nodes, c.F), rdt)
+        fi = jnp.zeros((c.n_nodes, c.F), rdt) if cplx else None
+        for link in c.links:
+            ps = jnp.asarray(link.parent_slot)
+            fr = fr.at[ps].add(_gather_vec(link, fk_re[link.src]))
+            if cplx:
+                fi = fi.at[ps].add(_gather_vec(link, fk_im[link.src]))
+        ev = jnp.asarray(c.elim_var)
+        fr = fr.at[:, :e].add(bp_re[ev])
+        if cplx:
+            fi = fi.at[:, :e].add(bp_im[ev])
+        fer, fei = fr[:, :e], (fi[:, :e] if cplx else None)
+        fe_st[ci] = (fer, fei)
+        if c.r:
+            ur, ui = _mm(st["lr"], st["li"], fer[:, :, None],
+                         fei[:, :, None] if cplx else None)
+            fk_re[ci] = shard(fr[:, e:] - ur[:, :, 0])
+            if cplx:
+                fk_im[ci] = shard(fi[:, e:] - ui[:, :, 0])
+
+    x_re = jnp.zeros(plan.n + 1, rdt)
+    x_im = jnp.zeros(plan.n + 1, rdt) if cplx else None
+    xk_re: Dict[int, jnp.ndarray] = {}
+    xk_im: Dict[int, jnp.ndarray] = {}
+    for ci in range(len(plan.classes) - 1, -1, -1):
+        c = plan.classes[ci]
+        st = fac["classes"][ci]
+        e = c.e
+        xkr = xk_re.pop(ci, None)
+        if xkr is None:
+            xkr = jnp.zeros((c.n_nodes, c.r), rdt)
+            xki = jnp.zeros((c.n_nodes, c.r), rdt) if cplx else None
+        else:
+            xki = xk_im.pop(ci) if cplx else None
+        fer, fei = fe_st[ci]
+        if c.r:
+            br_, bi_ = _mm(st["br"], st["bi"], xkr[:, :, None],
+                           xki[:, :, None] if cplx else None)
+            rr = fer - br_[:, :, 0]
+            ri = (fei - bi_[:, :, 0]) if cplx else None
+        else:
+            rr, ri = fer, fei
+        xer, xei = _mm(st["sir"], st["sii"], rr[:, :, None],
+                       ri[:, :, None] if cplx else None)
+        xer = xer[:, :, 0]
+        xei = xei[:, :, 0] if cplx else None
+        ev = jnp.asarray(c.elim_var)
+        x_re = x_re.at[ev.reshape(-1)].set(xer.reshape(-1), mode="drop")
+        if cplx:
+            x_im = x_im.at[ev.reshape(-1)].set(xei.reshape(-1), mode="drop")
+        # distribute this class's front solution to its children's keeps
+        if c.links:
+            xf_re = jnp.pad(jnp.concatenate([xer, xkr], axis=1),
+                            ((0, 0), (0, 1)))
+            xf_im = (jnp.pad(jnp.concatenate([xei, xki], axis=1),
+                             ((0, 0), (0, 1))) if cplx else None)
+            for link in c.links:
+                fwdj = jnp.asarray(link.fwd)
+                cs = jnp.asarray(link.child_slot)
+                src = plan.classes[link.src]
+                vals = jnp.take_along_axis(
+                    xf_re[jnp.asarray(link.parent_slot)], fwdj, axis=1)
+                tgt = xk_re.get(link.src)
+                if tgt is None:
+                    tgt = jnp.zeros((src.n_nodes, src.r), rdt)
+                xk_re[link.src] = tgt.at[cs].set(vals)
+                if cplx:
+                    vi = jnp.take_along_axis(
+                        xf_im[jnp.asarray(link.parent_slot)], fwdj, axis=1)
+                    ti_ = xk_im.get(link.src)
+                    if ti_ is None:
+                        ti_ = jnp.zeros((src.n_nodes, src.r), rdt)
+                    xk_im[link.src] = ti_.at[cs].set(vi)
+    if cplx:
+        cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
+        return (x_re[:plan.n].astype(cdt) + 1j * x_im[:plan.n].astype(cdt))
+    return x_re[:plan.n]

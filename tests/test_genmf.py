@@ -1,0 +1,184 @@
+"""GENMF (general-matrix nested-dissection multifrontal) tests.
+
+Oracle: dense NumPy solve/slogdet on irregular random sparse matrices
+(the factorization contract of MUMPS/UMFPACK on general patterns,
+interface_mumps.c JOB_FACTORIZE / interface_umfpack.c:109-167 — the
+reference's Raj1/ASIC_680k benchmark class).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from russell_tpu.sparse.genmf import genmf_analyze, genmf_factorize, \
+    genmf_solve
+from russell_tpu.sparse import factor as _factor
+from russell_tpu.sparse.enums import Genie
+
+
+def _irregular_coo(n, seed, avg_deg=4, long_frac=0.5, dom=1.0):
+    """Random quasi-1-D graph with long-range edges: irregular degree
+    distribution, no grid structure (the anti-GRIDMF case)."""
+    r = np.random.default_rng(seed)
+    ii, jj = [], []
+    for _ in range(avg_deg):
+        src = np.arange(n)
+        dst = np.clip(src + r.integers(-6, 7, n), 0, n - 1)
+        ii.append(src)
+        jj.append(dst)
+    m = int(n * long_frac)
+    ii.append(r.integers(0, n, m))
+    jj.append(r.integers(0, n, m))
+    ii = np.concatenate(ii)
+    jj = np.concatenate(jj)
+    ii, jj = (np.concatenate([ii, jj, np.arange(n)]),
+              np.concatenate([jj, ii, np.arange(n)]))
+    key = np.unique(ii * np.int64(n) + jj)
+    ii, jj = key // n, key % n
+    vals = r.normal(size=len(ii))
+    diag = ii == jj
+    vals[diag] = 0.0
+    rowsum = np.zeros(n)
+    np.add.at(rowsum, ii, np.abs(vals))
+    vals[diag] = rowsum[ii[diag]] + dom
+    return ii, jj, vals
+
+
+@pytest.mark.parametrize("n,seed,leaf", [(60, 0, 8), (350, 1, 16),
+                                         (1100, 2, 48)])
+def test_genmf_real_solve_and_logdet(n, seed, leaf):
+    ii, jj, vals = _irregular_coo(n, seed)
+    plan = genmf_analyze(n, ii, jj, leaf_target=leaf)
+    A = np.zeros((n, n))
+    A[ii, jj] = vals
+    x_ref = np.linalg.solve(A, np.ones(n))
+    _, ld_ref = np.linalg.slogdet(A)
+    fac = genmf_factorize(plan, jnp.asarray(vals))
+    x = np.asarray(genmf_solve(plan, fac, jnp.ones(n)))
+    err = np.max(np.abs(x - x_ref)) / max(1.0, np.max(np.abs(x_ref)))
+    assert err < 1e-10
+    assert abs(float(fac["logdet"]) - ld_ref) < 1e-7 * max(1.0, abs(ld_ref))
+
+
+def test_genmf_complex_planes():
+    n = 420
+    ii, jj, vals = _irregular_coo(n, 3)
+    rng = np.random.default_rng(9)
+    valc = vals + 0.3j * rng.normal(size=len(vals))
+    plan = genmf_analyze(n, ii, jj, leaf_target=24)
+    A = np.zeros((n, n), complex)
+    A[ii, jj] = valc
+    b = np.linspace(1.0, 2.0, n) + 0.5j
+    x_ref = np.linalg.solve(A, b)
+    fac = genmf_factorize(plan, jnp.asarray(valc))
+    x = np.asarray(genmf_solve(plan, fac, jnp.asarray(b)))
+    err = np.max(np.abs(x - x_ref)) / max(1.0, np.max(np.abs(x_ref)))
+    assert err < 1e-10
+    assert abs(float(fac["logdet"])
+               - np.linalg.slogdet(A)[1]) < 1e-6
+
+
+def test_genmf_disconnected_graph():
+    # two independent blocks + an isolated diagonal var: the ND tree is
+    # a forest; the solve must still be exact
+    n1, n2 = 90, 70
+    i1, j1, v1 = _irregular_coo(n1, 5)
+    i2, j2, v2 = _irregular_coo(n2, 6)
+    n = n1 + n2 + 1
+    ii = np.concatenate([i1, i2 + n1, [n - 1]])
+    jj = np.concatenate([j1, j2 + n1, [n - 1]])
+    vals = np.concatenate([v1, v2, [3.5]])
+    plan = genmf_analyze(n, ii, jj, leaf_target=16)
+    A = np.zeros((n, n))
+    A[ii, jj] = vals
+    x_ref = np.linalg.solve(A, np.ones(n))
+    fac = genmf_factorize(plan, jnp.asarray(vals))
+    x = np.asarray(genmf_solve(plan, fac, jnp.ones(n)))
+    assert np.max(np.abs(x - x_ref)) < 1e-10 * max(1.0,
+                                                   np.max(np.abs(x_ref)))
+
+
+def test_genmf_through_factor_auto():
+    # AUTO must route large irregular patterns (bad RCM bandwidth) to
+    # GENMF; mixed f32 + refinement meets the 1e-10 relative-error bar
+    n = 2000
+    ii, jj, vals = _irregular_coo(n, 7, long_frac=1.0)
+    plan = _factor.analyze(n, ii, jj, dense_threshold=500, max_block=64)
+    assert plan.genie == Genie.GENMF
+    assert plan.effective_ordering == "nd-general"
+    fac = _factor.numeric_factorize(plan, jnp.asarray(vals))
+    b = jnp.ones(n)
+    x = np.asarray(_factor.factor_solve(plan, fac, b))
+    A = np.zeros((n, n))
+    A[ii, jj] = vals
+    rel = np.max(np.abs(A @ x - 1.0)) / (np.max(np.abs(vals)) + 1.0)
+    assert rel < 1e-10
+
+
+def test_genmf_f32_with_refinement():
+    n = 900
+    ii, jj, vals = _irregular_coo(n, 8)
+    plan = _factor.analyze(n, ii, jj, genie=Genie.GENMF,
+                           mixed_precision=True)
+    v32 = jnp.asarray(vals, dtype=jnp.float32)
+    fac = _factor.numeric_factorize(plan, v32)
+    x = np.asarray(_factor.factor_solve(plan, fac, jnp.ones(n, jnp.float32)))
+    A = np.zeros((n, n))
+    A[ii, jj] = vals
+    assert np.max(np.abs(A @ x - 1.0)) < 1e-3
+
+
+def test_genmf_matches_splu_on_same_matrix():
+    # same matrix through both general-purpose engines
+    n = 800
+    ii, jj, vals = _irregular_coo(n, 10)
+    b = np.sin(np.arange(n))
+    xs = {}
+    for genie in (Genie.GENMF, Genie.SPLU):
+        plan = _factor.analyze(n, ii, jj, genie=genie)
+        fac = _factor.numeric_factorize(plan, jnp.asarray(vals))
+        xs[genie] = np.asarray(_factor.factor_solve(plan, fac,
+                                                    jnp.asarray(b)))
+    assert np.max(np.abs(xs[Genie.GENMF] - xs[Genie.SPLU])) < 1e-9
+
+
+def test_genmf_lin_solver_end_to_end():
+    # LinSolver surface: factorize/solve/determinant/stats on GENMF
+    from russell_tpu.sparse import CooMatrix, LinSolver, VerifyLinSys
+    n = 500
+    ii, jj, vals = _irregular_coo(n, 11)
+    m = CooMatrix.from_arrays(n, n, ii, jj, vals)
+    sol = LinSolver(Genie.GENMF)
+    sol.factorize(m)
+    rhs = np.ones(n)
+    x = sol.solve(rhs)
+    v = VerifyLinSys.from_system(m, x, rhs)
+    assert v.relative_error < 1e-10
+    mant, base, expo = sol.determinant()
+    sign, logabs = np.linalg.slogdet(np.asarray(m.as_dense()))
+    assert base == 10.0
+    assert np.sign(mant) == sign
+    assert abs((expo + np.log10(abs(mant)))
+               - logabs / np.log(10.0)) < 1e-7
+    assert sol.stats.output["effective_ordering"] == "nd-general"
+
+
+def test_genmf_brusselator_jacobian_no_hint():
+    # the flagship matrix WITHOUT its grid hint: GENMF must handle the
+    # stencil pattern as a general graph and agree with GRIDMF
+    from russell_tpu.ode import samples as _osamples
+    npoint = 13
+    system, t0, yy0, _args = _osamples.brusselator_pde(2e-3, npoint)
+    ii, jj = (np.asarray(v) for v in system.jac_structure)
+    n = system.ndim
+    jv = np.asarray(system.jacobian(t0, jnp.asarray(yy0), None))
+    rows = np.concatenate([ii, np.arange(n)])
+    cols = np.concatenate([jj, np.arange(n)])
+    data = np.concatenate([-jv, np.full(n, 120.0)])
+    plan = _factor.analyze(n, rows, cols, genie=Genie.GENMF)
+    fac = _factor.numeric_factorize(plan, jnp.asarray(data))
+    b = jnp.asarray(np.sin(np.arange(n)))
+    x = np.asarray(_factor.factor_solve(plan, fac, b))
+    A = np.zeros((n, n))
+    np.add.at(A, (rows, cols), data)
+    assert np.max(np.abs(A @ x - np.asarray(b))) < 1e-9
