@@ -34,7 +34,7 @@ __all__ = [
     "rectangular_1x2", "rectangular_1x7", "rectangular_7x1", "rectangular_3x4",
     "complex_rectangular_4x3",
     "bfwb62_path",
-    "laplacian_2d", "laplacian_3d",
+    "laplacian_2d", "laplacian_3d", "irregular_geometric",
 ]
 
 
@@ -267,6 +267,38 @@ def laplacian_2d(npoint: int, kx: float = 1.0, ky: float = 1.0) -> CooMatrix:
     ii.append(idx[north]); jj.append(idx[north] + npoint); vv.append(np.full(north.sum(), -cy))
     return CooMatrix.from_arrays(
         n, n, np.concatenate(ii), np.concatenate(jj), np.concatenate(vv))
+
+
+def irregular_geometric(n: int, seed: int = 0, avg_degree: float = 8.0,
+                        dom: float = 1.0) -> CooMatrix:
+    """Random-geometric irregular sparse matrix (Raj1/ASIC_680k stand-in).
+
+    ``n`` uniform points in the unit square, edges within the radius that
+    yields ``avg_degree`` neighbors on average: degrees are Poisson-
+    distributed (irregular), vertex labels carry NO banded or grid
+    structure, but the graph has the O(sqrt(n)) separators typical of the
+    reference's circuit/FEM benchmark class
+    (russell_sparse/data/logs/Raj1_MUMPS.json n=263,743 nnz=1.3M —
+    SuiteSparse matrices are not redistributable, so we generate).
+    Unsymmetric values, strictly diagonally dominant rows.
+    """
+    from scipy.spatial import cKDTree  # baked into the image
+
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, 2))
+    # E[deg] = pi r^2 n  ->  r = sqrt(avg_degree / (pi n))
+    r = float(np.sqrt(avg_degree / (np.pi * n)))
+    pairs = cKDTree(pts).query_pairs(r, output_type="ndarray")
+    ii = np.concatenate([pairs[:, 0], pairs[:, 1], np.arange(n)])
+    jj = np.concatenate([pairs[:, 1], pairs[:, 0], np.arange(n)])
+    vals = rng.normal(size=len(ii))
+    diag = ii == jj
+    vals[diag] = 0.0
+    rowsum = np.zeros(n)
+    np.add.at(rowsum, ii, np.abs(vals))
+    vals[diag] = rowsum[np.arange(n)] + dom
+    return CooMatrix.from_arrays(n, n, ii.astype(np.int64),
+                                 jj.astype(np.int64), vals)
 
 
 def laplacian_3d(npoint: int, conv: float = 0.0) -> CooMatrix:

@@ -50,6 +50,10 @@ CASES = {
     "laplacian_3d_79": ("laplacian_3d:79", "gridmf", 3600),
     "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 3600),
     "conv_diff_3d_63": ("laplacian_3d:63:0.5", "gridmf", 3600),
+    # Raj1-class irregular (circuit/FEM stand-in, n=263743 like Raj1):
+    # random-geometric graph, no grid hint — the GENMF general-matrix
+    # multifrontal path (reference bar: Raj1_MUMPS.json factorize 81.8ms)
+    "geometric_264k": ("geometric:263743", "genmf", 3600),
 }
 
 
@@ -72,6 +76,8 @@ def _build(spec):
         return coo
     parts = rest.split(":")
     npoint = int(parts[0])
+    if kind == "geometric":
+        return samples.irregular_geometric(npoint)
     if kind == "laplacian_2d":
         return samples.laplacian_2d(npoint)
     conv = float(parts[1]) if len(parts) > 1 else 0.0
