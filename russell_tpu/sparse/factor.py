@@ -71,6 +71,9 @@ class SolvePlan:
     splu_plan: Optional["_splu.SpluPlan"] = None
     # GRIDMF (regular-grid nested-dissection multifrontal):
     gridmf_plan: Optional["_gridmf.GridMfPlan"] = None
+    # factors exceed the HBM budget -> stream them to host RAM (eager
+    # per-depth pipeline, numpy level stores; cuDSS hybrid-memory analog)
+    gridmf_ooc: bool = False
     # GENMF (general-matrix nested-dissection multifrontal):
     genmf_plan: Optional["_genmf.GenMfPlan"] = None
     # options
@@ -137,20 +140,24 @@ def analyze(
                                           "4.0"))
         candidates = ([int(leaf_env)] if leaf_env else [64, 16])
         gplan = None
+        ooc = False
         try:
             for leaf in candidates:
                 gplan = _gridmf.gridmf_analyze(n, rows, cols, grid,
                                                pivot_epsilon=pivot_epsilon,
                                                leaf_cells=leaf)
-                store_gb = 4.0 * sum(
-                    lv.n_nodes * (lv.e * lv.e + 2 * lv.r * lv.e)
-                    for lv in gplan.levels) / 2 ** 30
+                store_gb = _gridmf.gridmf_store_gb(gplan)
                 # charge the Radau5 real+complex pair (3 f32 planes):
                 # measured 2026-08-19, npoint=513 leaf=64 (1.82 GB/plane)
                 # OOMs on the complex factorize while leaf=16 (0.93)
                 # runs the pair comfortably
-                if 3.0 * store_gb <= budget_gb or leaf == candidates[-1]:
+                if 3.0 * store_gb <= budget_gb:
                     break
+            else:
+                # even the smallest leaf busts the budget when the REAL
+                # plane alone exceeds it: stream factors to host RAM
+                # (cuDSS hybrid host/device memory-mode analog)
+                ooc = store_gb > budget_gb
         except ValueError:
             if genie == Genie.GRIDMF:
                 raise
@@ -158,6 +165,7 @@ def analyze(
         if gplan is not None:
             return SolvePlan(Genie.GRIDMF, n, rows, cols,
                              gridmf_plan=gplan,
+                             gridmf_ooc=ooc,
                              scaling=Scaling.MAX if scaling == Scaling.AUTO
                              else scaling,
                              pivot_epsilon=pivot_epsilon,
@@ -570,9 +578,16 @@ def numeric_factorize(plan: SolvePlan, data):
         return fac
     if plan.genie == Genie.GRIDMF:
         data, rs, cs = _equilibrate(plan, data)
-        fac = _gridmf.gridmf_factorize(
-            plan.gridmf_plan,
-            data.astype(_factor_dtype(plan, data.dtype)))
+        if plan.gridmf_ooc and not isinstance(data, jax.core.Tracer):
+            # stream factors to host RAM; caller must NOT wrap this in
+            # jit (LinSolver dispatches eagerly for OOC plans)
+            fac = _gridmf.gridmf_factorize_ooc(
+                plan.gridmf_plan,
+                data.astype(_factor_dtype(plan, data.dtype)))
+        else:
+            fac = _gridmf.gridmf_factorize(
+                plan.gridmf_plan,
+                data.astype(_factor_dtype(plan, data.dtype)))
         fac["rs"] = rs
         fac["cs"] = cs
         fac["data"] = data

@@ -66,7 +66,7 @@ import jax.numpy as jnp
 from russell_tpu.sparse.splu import _inv_block
 
 __all__ = ["GridMfPlan", "gridmf_analyze", "gridmf_factorize",
-           "gridmf_solve"]
+           "gridmf_solve", "gridmf_factorize_ooc", "gridmf_store_gb"]
 
 
 # ---------------------------------------------------------------------------
@@ -551,24 +551,106 @@ def gridmf_factorize(plan: GridMfPlan, data, shard=None):
             "n_perturbed": npc}
 
 
+def gridmf_store_gb(plan: GridMfPlan, bytes_per: int = 4) -> float:
+    """Factor storage per value plane ({Sinv, Lhat, B} per level)."""
+    return bytes_per * sum(lv.n_nodes * (lv.e * lv.e + 2 * lv.r * lv.e)
+                           for lv in plan.levels) / 2 ** 30
+
+
+def gridmf_factorize_ooc(plan: GridMfPlan, data):
+    """Out-of-core factorization: factors stream to HOST RAM.
+
+    The TPU analog of cuDSS hybrid host/device memory mode
+    (reference: russell_sparse/c_code/interface_cudss.cu:351) and the
+    MUMPS ICNTL(14)/(23) workspace controls (interface_mumps.c:149-152):
+    when the multifrontal factor store exceeds HBM (3-D operators obey
+    the O(n^{4/3}) fill law — 19.7 GB/plane at 101^3), the in-core path
+    simply OOMs. Here the per-depth pipeline runs EAGERLY (no outer jit,
+    so no device_get-in-trace problem and no minutes-long whole-program
+    compile), and each depth's factors {Sinv, Lhat, B} are fetched to
+    host numpy as soon as they are produced; peak HBM = one depth's
+    fronts + the running Schur complement (~the two largest adjacent
+    levels). Eager dispatch also bounds every device call well under the
+    worker watchdog. The returned fac is numerically IDENTICAL to
+    gridmf_factorize's (same ops, same order) with numpy level stores —
+    gridmf_solve accepts it directly (jnp re-ships each level on use).
+
+    ``data`` must be REAL (the complex-pair use lives in the fused ODE
+    path, which never runs out-of-core; complex host transfers are also
+    unimplemented on the attached backend)."""
+    data_np = np.asarray(data)
+    if np.iscomplexobj(data_np):
+        raise NotImplementedError(
+            "out-of-core gridmf is real-only (ship complex as planes "
+            "through the in-core path)")
+    dev = jnp.asarray(data_np)
+    rdt = dev.dtype
+    uniq_re = _presum(plan, dev)
+    delta = jnp.asarray(plan.pivot_epsilon * (1.0 + float(
+        np.max(np.abs(data_np)))), rdt)
+
+    store: List[Optional[dict]] = [None] * len(plan.levels)
+    sch_re = None
+    ld = 0.0
+    mp = np.inf
+    npc = 0
+    ph = 1.0
+    for d in range(len(plan.levels) - 1, -1, -1):
+        lv = plan.levels[d]
+        fr = _assemble(lv, uniq_re, rdt)
+        if sch_re is not None:
+            tr, _ = _embed_mat(lv, plan.levels[d + 1], sch_re, None)
+            fr = fr + tr
+        e = lv.e
+        SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
+            fr[:, :e, :e], None, delta)
+        Br = fr[:, :e, e:]
+        Lr, _ = _mm(fr[:, e:, :e], None, SIr, None)
+        Ur, _ = _mm(Lr, None, Br, None)
+        new_sch = fr[:, e:, e:] - Ur
+        # fetch this depth's factors to host and drop the device copies;
+        # device_get also synchronizes, bounding each device call's span
+        store[d] = jax.device_get(
+            {"sir": SIr, "sii": None, "lr": Lr, "li": None,
+             "br": Br, "bi": None})
+        ld += float(ld_d)
+        mp = min(mp, float(mp_d))
+        npc += int(np_d)
+        ph *= float(ph_d)
+        del fr, SIr, Br, Lr, Ur
+        sch_re = new_sch
+    return {"levels": store, "logdet": jnp.asarray(ld, rdt),
+            "phase": jnp.asarray(ph, rdt),
+            "min_pivot": jnp.asarray(mp, rdt),
+            "n_perturbed": jnp.asarray(npc, jnp.int32)}
+
+
 def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None):
     """x = A^{-1} b through the stored fronts: up-sweep (forward
     elimination of the rhs) then down-sweep (back-substitution), all
     batched einsums. Jittable. ``shard``: see gridmf_factorize."""
     if shard is None:
         shard = lambda a: a
-    bvec = jnp.asarray(bvec)
     # complexness is part of the pytree STRUCTURE (None leaves), so the
     # fac stays usable across jit boundaries (no traced-bool branching)
     cplx = fac["levels"][-1]["sii"] is not None
-    rdt = fac["levels"][-1]["sir"].dtype
-    if cplx:
-        bp_re = jnp.concatenate([jnp.real(bvec).astype(rdt),
-                                 jnp.zeros(1, rdt)])
-        bp_im = jnp.concatenate([jnp.imag(bvec).astype(rdt),
-                                 jnp.zeros(1, rdt)])
+    rdt = jnp.asarray(fac["levels"][-1]["sir"]).dtype
+    if isinstance(bvec, tuple):
+        # (re, im) PLANES: the out-of-core path ships complex rhs as
+        # planes (complex host<->device transfers are unimplemented on
+        # the attached backend)
+        b_re, b_im = (jnp.asarray(v) for v in bvec)
     else:
-        bp_re = jnp.concatenate([bvec.astype(rdt), jnp.zeros(1, rdt)])
+        bvec = jnp.asarray(bvec)
+        b_re = jnp.real(bvec)
+        b_im = jnp.imag(bvec) if cplx else None
+    if cplx:
+        bp_re = jnp.concatenate([b_re.astype(rdt), jnp.zeros(1, rdt)])
+        bp_im = jnp.concatenate([
+            (b_im if b_im is not None else jnp.zeros_like(b_re)
+             ).astype(rdt), jnp.zeros(1, rdt)])
+    else:
+        bp_re = jnp.concatenate([b_re.astype(rdt), jnp.zeros(1, rdt)])
         bp_im = None
 
     D = len(plan.levels) - 1

@@ -172,8 +172,16 @@ class LinSolver:
             )
             self._structure = structure
             plan = self.plan
-            self._fact_fn = jax.jit(lambda d: _factor.numeric_factorize(plan, d))
-            self._solve_fn = jax.jit(lambda f, b: _factor.factor_solve(plan, f, b))
+            if getattr(plan, "gridmf_ooc", False):
+                # out-of-core: the numeric phase streams factors to host
+                # RAM via device_get — it must run EAGERLY (a jitted
+                # wrapper would both trace the device_get and re-ship the
+                # whole host store into HBM on every solve)
+                self._fact_fn = lambda d: _factor.numeric_factorize(plan, d)
+                self._solve_fn = lambda f, b: _factor.factor_solve(plan, f, b)
+            else:
+                self._fact_fn = jax.jit(lambda d: _factor.numeric_factorize(plan, d))
+                self._solve_fn = jax.jit(lambda f, b: _factor.factor_solve(plan, f, b))
             self.stats.main["solver"] = plan.genie.value
             self.stats.matrix.update(
                 nrow=nrow, ncol=ncol, nnz=int(len(ii)),
@@ -183,6 +191,8 @@ class LinSolver:
                 ordering=params.ordering.name, scaling=params.scaling.name)
             self.stats.output["effective_ordering"] = plan.effective_ordering
             self.stats.output["effective_scaling"] = plan.scaling.name
+            if getattr(plan, "gridmf_ooc", False):
+                self.stats.output["out_of_core"] = True
             self.stats.time_nanoseconds["initialize"] = time.perf_counter_ns() - t0
         elif structure != self._structure:
             raise ValueError("subsequent factorizations must use the same structure")

@@ -274,3 +274,51 @@ def test_gridmf_determinant_sign():
     assert np.sign(mant) == sign == -1.0
     got_log10 = expo + np.log10(abs(mant))
     assert abs(got_log10 - logabs / np.log(10.0)) < 1e-8
+
+
+def test_gridmf_out_of_core_matches_incore(monkeypatch):
+    # force the OOC path with a tiny HBM budget: the eager host-streamed
+    # factorization must agree with the in-core jitted one, and the
+    # LinSolver surface (incl. determinant) must work end to end
+    # (cuDSS hybrid host/device memory-mode analog, interface_cudss.cu:351)
+    from russell_tpu.sparse import samples as _ssamples
+    coo = _ssamples.laplacian_2d(24)
+    rows = np.asarray(coo.indices_i[:coo.nnz])
+    cols = np.asarray(coo.indices_j[:coo.nnz])
+    vals = np.asarray(coo.values[:coo.nnz])
+    n = coo.nrow
+    b = np.sin(np.arange(n))
+
+    plan_ic = _factor.analyze(n, rows, cols, genie=Genie.GRIDMF,
+                              grid=(24, 24, 1))
+    assert not plan_ic.gridmf_ooc
+    fac_ic = _factor.numeric_factorize(plan_ic, jnp.asarray(vals))
+    x_ic = np.asarray(_factor.factor_solve(plan_ic, fac_ic, jnp.asarray(b)))
+
+    monkeypatch.setenv("RUSSELL_TPU_GRIDMF_MEM_GB", "1e-9")
+    plan = _factor.analyze(n, rows, cols, genie=Genie.GRIDMF,
+                           grid=(24, 24, 1))
+    assert plan.gridmf_ooc
+    fac = _factor.numeric_factorize(plan, jnp.asarray(vals))
+    # factors live on HOST
+    assert isinstance(fac["levels"][0]["sir"], np.ndarray)
+    x = np.asarray(_factor.factor_solve(plan, fac, jnp.asarray(b)))
+    assert np.max(np.abs(x - x_ic)) < 1e-12 * max(1.0, np.max(np.abs(x_ic)))
+    assert abs(float(fac["logdet"]) - float(fac_ic["logdet"])) < 1e-8
+
+    # LinSolver end to end under the tiny budget
+    from russell_tpu.sparse import LinSolver, LinSolParams, VerifyLinSys
+    sol = LinSolver(Genie.GRIDMF)
+    sol.factorize(coo, LinSolParams(grid=(24, 24, 1)))
+    assert sol.stats.output.get("out_of_core") is True
+    xs = sol.solve(b)
+    v = VerifyLinSys.from_system(coo, xs, b)
+    assert v.relative_error < 1e-10
+    mant, base, expo = sol.determinant()
+    sign, logabs = np.linalg.slogdet(np.asarray(coo.as_dense()))
+    assert np.sign(mant) == sign
+    assert abs(expo + np.log10(abs(mant)) - logabs / np.log(10)) < 1e-7
+
+    # complex is explicitly not supported out of core
+    with pytest.raises(NotImplementedError):
+        _factor.numeric_factorize(plan, jnp.asarray(vals + 0j))

@@ -154,7 +154,12 @@ def main() -> int:
         return run_case(args.case)
 
     os.makedirs(LOGS, exist_ok=True)
+    # merge into an existing summary so the suite can run in stages
+    spath = os.path.join(LOGS, "summary.json")
     summary = {}
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            summary = json.load(fh)
     for name, (_spec, _genie, tmo) in CASES.items():
         if args.only and name not in args.only:
             continue
@@ -183,7 +188,7 @@ def main() -> int:
         else:
             summary[name] = {"ok": False, "exit": code, "wall_s": wall}
         print(f"== {name}: {summary[name]}", flush=True)
-    with open(os.path.join(LOGS, "summary.json"), "w") as fh:
+    with open(spath, "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps(summary, indent=2))
     return 0
