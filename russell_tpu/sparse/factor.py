@@ -698,23 +698,82 @@ def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
     TPU (no complex128 kernels there). ``refine_steps`` overrides the
     plan's default (e.g. Radau5 uses 1 round for its inner Newton solves
     — Newton tolerates inexact corrections)."""
+    adaptive = refine_steps is None and plan.mixed32
     if refine_steps is None:
         refine_steps = plan.refine_steps
     b = jnp.asarray(b)
     x = _solve_once(plan, fac, b)
-    if refine_steps > 0:
-        x = x.astype(fac["data"].dtype)
-        rows = jnp.asarray(plan.rows)
-        cols = jnp.asarray(plan.cols)
-        data = fac["data"]  # scaled entries: As = R A C
-        rs, cs = fac["rs"], fac["cs"]
-        dtype = x.dtype
-        # residual in scaled space: rscaled = R(b - A x) = R b - As (C^{-1} x)
+    if refine_steps <= 0 and not adaptive:
+        return x
+    x = x.astype(fac["data"].dtype)
+    rows = jnp.asarray(plan.rows)
+    cols = jnp.asarray(plan.cols)
+    data = fac["data"]  # scaled entries: As = R A C
+    rs, cs = fac["rs"], fac["cs"]
+    dtype = x.dtype
+    rdt = jnp.real(jnp.zeros((), dtype)).dtype
+    # residual in scaled space: rscaled = R(b - A x) = R b - As (C^{-1} x)
+    rb = rs.astype(dtype) * b.astype(dtype)
+
+    def _resid_w(x):
+        """Residual (unscaled rhs space) + Arioli-Demmel-Duff backward
+        error w = max_i |r|_i / (|As||u| + |R b|)_i of the scaled system
+        (the MUMPS RINFOG(7) omega_1 measure)."""
+        u = x / cs.astype(dtype)
+        ax = jax.ops.segment_sum(data * u[cols], rows, num_segments=plan.n)
+        resid_scaled = rb - ax
+        denom = jax.ops.segment_sum(jnp.abs(data) * jnp.abs(u)[cols], rows,
+                                    num_segments=plan.n) + jnp.abs(rb)
+        w = jnp.max(jnp.abs(resid_scaled)
+                    / jnp.maximum(denom, jnp.finfo(rdt).tiny))
+        return resid_scaled / rs.astype(dtype), w
+
+    if not adaptive:
+        # fixed-count rounds skip the backward-error SpMV (hot in the
+        # fused Radau5 Newton loop, which passes refine_steps=1)
         for _ in range(refine_steps):
-            u = (x / cs.astype(dtype))
-            ax = jax.ops.segment_sum(data * u[cols], rows, num_segments=plan.n)
-            resid_scaled = rs.astype(dtype) * b.astype(dtype) - ax
-            # map back to unscaled rhs for _solve_once (which applies R itself)
-            resid = resid_scaled / rs.astype(dtype)
-            x = x + _solve_once(plan, fac, resid)
+            u = x / cs.astype(dtype)
+            ax = jax.ops.segment_sum(data * u[cols], rows,
+                                     num_segments=plan.n)
+            x = x + _solve_once(plan, fac, (rb - ax) / rs.astype(dtype))
+        return x
+
+    # adaptive refinement (default path under mixed precision): iterate
+    # until the backward error reaches ~machine eps of the INPUT dtype or
+    # stagnates — f32 factors of ill-conditioned systems need a
+    # condition-dependent number of rounds (MUMPS ICNTL(10) analog;
+    # laplacian_2d at npoint>=317 needs ~6-12, not the fixed 3)
+    max_steps = 20
+    tol = 2.0 * jnp.finfo(rdt).eps
+    resid0, w0 = _resid_w(x)
+    if getattr(plan, "gridmf_ooc", False) and not isinstance(
+            x, jax.core.Tracer):
+        # host-resident factors: python loop (a lax.while_loop would
+        # ship the whole out-of-core store into HBM)
+        w_prev = np.inf
+        w = float(w0)
+        resid = resid0
+        k = 0
+        while k < max_steps and w > float(tol) and w < 0.9 * w_prev:
+            x = (x + _solve_once(plan, fac, resid)).astype(dtype)
+            w_prev = w
+            resid, w_dev = _resid_w(x)
+            w = float(w_dev)
+            k += 1
+        return x
+
+    def cond(c):
+        _x, _r, w, w_prev, k = c
+        return (k < max_steps) & (w > tol) & (w < 0.9 * w_prev)
+
+    def body(c):
+        x, resid, w, _w_prev, k = c
+        x = (x + _solve_once(plan, fac, resid)).astype(dtype)
+        resid2, w2 = _resid_w(x)
+        return (x, resid2, w2, w, k + 1)
+
+    x, _, _, _, _ = lax.while_loop(
+        cond, body,
+        (x, resid0, w0, jnp.asarray(jnp.inf, w0.dtype),
+         jnp.zeros((), jnp.int32)))
     return x

@@ -57,6 +57,51 @@ fn2 = jax.jit(shard_map(lambda v: lax.all_gather(v, "rows", tiled=True),
                         check_vma=False))
 full = np.asarray(fn2(garr).addressable_data(0))
 assert np.array_equal(full, host), full
+
+# ---- REAL product kernels across the process boundary -------------------
+# (VERDICT r2: the cross-process code path of the actual factorizations
+# was untested). Same f32 absolute-residual contract as the driver's
+# dryrun_multichip.
+from russell_tpu.parallel import (dist_gridmf_factorize, dist_gridmf_solve,
+                                  dist_splu_factorize)
+from russell_tpu.sparse import samples as _ssamples
+from russell_tpu.sparse import gridmf as _gridmf, splu as _splu
+
+coo = _ssamples.laplacian_2d(16)
+i2, j2, v2 = coo.triplets()
+n = coo.nrow
+repl = NamedSharding(mesh, P())
+v32 = v2.astype(np.float32)
+rhs_h = np.linspace(1.0, 2.0, n, dtype=np.float32)
+gvals = jax.make_array_from_callback(v32.shape, repl, lambda idx: v32[idx])
+grhs = jax.make_array_from_callback(rhs_h.shape, repl, lambda idx: rhs_h[idx])
+rows_c = jnp.asarray(i2)
+cols_c = jnp.asarray(j2)
+vals_c = jnp.asarray(v32)
+rhs_c = jnp.asarray(rhs_h)
+
+@jax.jit
+def resid_inf(x):
+    ax = jax.ops.segment_sum(vals_c * x[cols_c], rows_c, num_segments=n)
+    return jnp.max(jnp.abs(ax - rhs_c))
+
+# distributed GRIDMF factorize+solve: node batch axis sharded over the
+# 8-device (2-process) mesh — extend-add crosses the process boundary at
+# the top depths
+plan4 = _gridmf.gridmf_analyze(n, np.asarray(i2), np.asarray(j2),
+                               (16, 16, 1), leaf_cells=4)
+fac4 = dist_gridmf_factorize(mesh, plan4, gvals)
+x4 = dist_gridmf_solve(mesh, plan4, fac4, grhs)
+r4 = float(resid_inf(x4))
+assert r4 < 1e-3, f"dist GRIDMF cross-process residual {r4}"
+
+# distributed SPLU: level chunks split over the mesh, psum-combined
+plan3 = _splu.splu_analyze(n, np.asarray(i2), np.asarray(j2),
+                           block_size=16, ordering="nd")
+fac3 = dist_splu_factorize(mesh, plan3, gvals)
+x3 = jax.jit(lambda f, b: _splu.splu_solve(plan3, f, b))(fac3, grhs)
+r3 = float(resid_inf(x3))
+assert r3 < 1e-3, f"dist SPLU cross-process residual {r3}"
 print(f"proc {pid} ok")
 """
 

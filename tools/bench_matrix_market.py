@@ -126,6 +126,20 @@ def run_case(name: str) -> int:
     st.time_nanoseconds["read_matrix"] = t_read
     st.time_nanoseconds["factorize_warm"] = fact_warm
     st.time_nanoseconds["solve_warm"] = solve_warm
+    # achieved-throughput fields (VERDICT r2 item 7): factorization flops
+    # are statically computable from the multifrontal schedules, so perf
+    # claims are auditable against chip peak, not just a 2020 CPU
+    flops = None
+    if solver.plan.gridmf_plan is not None:
+        from russell_tpu.sparse.gridmf import gridmf_flops
+        flops = gridmf_flops(solver.plan.gridmf_plan)
+    elif getattr(solver.plan, "genmf_plan", None) is not None:
+        flops = solver.plan.genmf_plan.flops
+    if flops is not None:
+        st.output["factorize_flops"] = int(flops)
+        st.output["factorize_gflops_warm"] = round(flops / fact_warm, 3)
+    st.output["factorize_nnz_per_s_warm"] = round(
+        int(coo.nnz) * 1e9 / fact_warm)
     st.verify = {
         "max_abs_a": verify.max_abs_a,
         "max_abs_ax": verify.max_abs_ax,
