@@ -738,17 +738,75 @@ def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             x = x + _solve_once(plan, fac, (rb - ax) / rs.astype(dtype))
         return x
 
-    # adaptive refinement (default path under mixed precision): iterate
-    # until the backward error reaches ~machine eps of the INPUT dtype or
-    # stagnates — f32 factors of ill-conditioned systems need a
-    # condition-dependent number of rounds (MUMPS ICNTL(10) analog;
-    # laplacian_2d at npoint>=317 needs ~6-12, not the fixed 3)
+    # adaptive refinement (default path under mixed precision), two tiers
+    # (MUMPS ICNTL(10) / cuDSS iterative-refinement role):
+    #   1. plain refinement while it improves >=10% per round — cheap,
+    #      converges when kappa(A) * backward_error(f32 factor) << 1;
+    #   2. FGMRES-IR restarts (Carson-Higham): f64 flexible GMRES(m)
+    #      preconditioned by the f32 factorization. GMRES MINIMIZES the
+    #      true residual over the Krylov space, so a marginal-quality
+    #      preconditioner cannot make it diverge the way plain
+    #      refinement does (measured: laplacian_2d_1000 diverged to
+    #      rel_err 0.119 under plain refinement; SPLU's f32 backward
+    #      error stalls laplacian_3d_50 at 9.7e-4).
     max_steps = 20
+    m_krylov = 10
+    max_cycles = 6
     tol = 2.0 * jnp.finfo(rdt).eps
+    cplx = jnp.iscomplexobj(jnp.zeros((), dtype))
+    tiny = jnp.finfo(rdt).tiny
+
+    def matvec(v):
+        """A v through the scaled entries (A = R^-1 As C^-1)."""
+        u = v / cs.astype(dtype)
+        return jax.ops.segment_sum(data * u[cols], rows,
+                                   num_segments=plan.n) / rs.astype(dtype)
+
+    def _fgmres_cycle(x):
+        """One right-preconditioned flexible GMRES(m) cycle at the input
+        precision; the m-step Arnoldi (modified Gram-Schmidt) is unrolled
+        statically. The small (m x m) least-squares solve runs via normal
+        equations through the GEMM-only recursive-Schur inverse
+        (_inv_planes) — no LAPACK kernels, so it works in f64 on TPU."""
+        resid, _ = _resid_w(x)
+        beta = jnp.linalg.norm(resid)
+        bsafe = jnp.maximum(beta, tiny).astype(dtype)
+        V = [resid / bsafe]
+        Z = []
+        Hcols = []
+        for j in range(m_krylov):
+            z = _solve_once(plan, fac, V[j]).astype(dtype)
+            Z.append(z)
+            wv = matvec(z)
+            hcol = []
+            for i in range(j + 1):
+                hij = jnp.vdot(V[i], wv)
+                wv = wv - hij * V[i]
+                hcol.append(hij)
+            hn = jnp.linalg.norm(wv)
+            V.append(wv / jnp.maximum(hn, tiny).astype(dtype))
+            hcol.append(hn.astype(dtype))
+            hcol += [jnp.zeros((), dtype)] * (m_krylov - j)
+            Hcols.append(jnp.stack(hcol))
+        H = jnp.stack(Hcols, axis=1)            # (m+1, m)
+        # y = argmin ||beta e1 - H y||_2 via normal equations (m is tiny
+        # and H inherits the preconditioned operator's modest condition)
+        G = jnp.conj(H.T) @ H
+        g_rhs = beta.astype(dtype) * jnp.conj(H[0, :])
+        delta_ls = jnp.finfo(rdt).eps * (1.0 + jnp.max(jnp.abs(G)))
+        Gi_r, Gi_i, _ld, _mp, _np, _ph = _gridmf._inv_planes(
+            jnp.real(G)[None], jnp.imag(G)[None] if cplx else None,
+            delta_ls.astype(rdt))
+        Ginv = (Gi_r[0] + 1j * Gi_i[0]).astype(dtype) if cplx \
+            else Gi_r[0].astype(dtype)
+        y = Ginv @ g_rhs
+        dx = sum(y[j] * Z[j] for j in range(m_krylov))
+        return x + dx
+
     resid0, w0 = _resid_w(x)
     if getattr(plan, "gridmf_ooc", False) and not isinstance(
             x, jax.core.Tracer):
-        # host-resident factors: python loop (a lax.while_loop would
+        # host-resident factors: python loops (a lax.while_loop would
         # ship the whole out-of-core store into HBM)
         w_prev = np.inf
         w = float(w0)
@@ -758,6 +816,14 @@ def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             x = (x + _solve_once(plan, fac, resid)).astype(dtype)
             w_prev = w
             resid, w_dev = _resid_w(x)
+            w = float(w_dev)
+            k += 1
+        k = 0
+        w_prev = np.inf
+        while k < max_cycles and w > float(tol) and w < 0.5 * w_prev:
+            x = _fgmres_cycle(x).astype(dtype)
+            w_prev = w
+            _r, w_dev = _resid_w(x)
             w = float(w_dev)
             k += 1
         return x
@@ -772,8 +838,22 @@ def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
         resid2, w2 = _resid_w(x)
         return (x, resid2, w2, w, k + 1)
 
-    x, _, _, _, _ = lax.while_loop(
+    x, _, w1, _, _ = lax.while_loop(
         cond, body,
         (x, resid0, w0, jnp.asarray(jnp.inf, w0.dtype),
          jnp.zeros((), jnp.int32)))
+
+    def g_cond(c):
+        _x, w, w_prev, k = c
+        return (k < max_cycles) & (w > tol) & (w < 0.5 * w_prev)
+
+    def g_body(c):
+        x, w, _w_prev, k = c
+        x = _fgmres_cycle(x).astype(dtype)
+        _r, w2 = _resid_w(x)
+        return (x, w2, w, k + 1)
+
+    x, _, _, _ = lax.while_loop(
+        g_cond, g_body,
+        (x, w1, jnp.asarray(jnp.inf, w1.dtype), jnp.zeros((), jnp.int32)))
     return x

@@ -62,6 +62,10 @@ class LinSolParams:
     # for grid-stencil matrices (species-major layout var = k*prod(dims)
     # + row_major_cell); unlocks the GRIDMF multifrontal path
     grid: Optional[tuple] = None
+    # None = auto (f32 factors + adaptive f64 FGMRES-IR refinement on
+    # TPU, where XLA has no f64 LU/triangular kernels; full-precision
+    # factors elsewhere). True/False forces the regime.
+    mixed_precision: Optional[bool] = None
 
 
 @dataclass
@@ -169,6 +173,7 @@ class LinSolver:
                 dense_threshold=params.dense_threshold,
                 max_block=params.max_block,
                 grid=params.grid,
+                mixed_precision=params.mixed_precision,
             )
             self._structure = structure
             plan = self.plan

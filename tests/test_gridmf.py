@@ -322,3 +322,26 @@ def test_gridmf_out_of_core_matches_incore(monkeypatch):
     # complex is explicitly not supported out of core
     with pytest.raises(NotImplementedError):
         _factor.numeric_factorize(plan, jnp.asarray(vals + 0j))
+
+
+def test_gridmf_mixed_precision_backward_error_at_machine_eps():
+    # the adaptive two-tier refinement (plain IR + FGMRES-IR restarts,
+    # factor.py) must push the Arioli-Demmel-Duff backward error of an
+    # f32-factored solve to ~f64 machine eps — plain fixed-count
+    # refinement measurably fails this on ill-conditioned operators
+    # (laplacian_2d_1000 on-chip diverged to rel_err 0.119)
+    from russell_tpu.sparse import samples as _ssamples
+    coo = _ssamples.laplacian_2d(48)
+    rows = np.asarray(coo.indices_i[:coo.nnz])
+    cols = np.asarray(coo.indices_j[:coo.nnz])
+    vals = np.asarray(coo.values[:coo.nnz])
+    plan = _factor.analyze(coo.nrow, rows, cols, genie=Genie.GRIDMF,
+                           grid=(48, 48, 1), mixed_precision=True)
+    fac = _factor.numeric_factorize(plan, jnp.asarray(vals))
+    b = np.sin(np.arange(coo.nrow))
+    x = np.asarray(_factor.factor_solve(plan, fac, jnp.asarray(b)))
+    A = np.zeros((coo.nrow, coo.nrow))
+    np.add.at(A, (rows, cols), vals)
+    w = np.max(np.abs(A @ x - b) / (np.abs(A) @ np.abs(x) + np.abs(b)
+                                    + 1e-300))
+    assert w < 5 * np.finfo(np.float64).eps, w
