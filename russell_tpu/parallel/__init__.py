@@ -25,6 +25,8 @@ from russell_tpu.parallel.multihost import (initialize_multihost,
 from russell_tpu.parallel.dist_splu import dist_splu_factorize
 from russell_tpu.parallel.dist_gridmf import (dist_gridmf_factorize,
                                               dist_gridmf_solve)
+from russell_tpu.parallel.dist_genmf import (dist_genmf_factorize,
+                                             dist_genmf_solve)
 
 __all__ = [
     "make_mesh",
@@ -37,4 +39,6 @@ __all__ = [
     "dist_splu_factorize",
     "dist_gridmf_factorize",
     "dist_gridmf_solve",
+    "dist_genmf_factorize",
+    "dist_genmf_solve",
 ]

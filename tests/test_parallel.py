@@ -123,3 +123,36 @@ def test_dist_gridmf_matches_single_chip(dtype):
     assert resid < (1e-9 if dtype == np.float64 else 1e-3)  # absolute
     assert abs(float(fac_d["logdet"]) - float(fac_s["logdet"])) < (
         1e-8 if dtype == np.float64 else 1e-2)
+
+
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_dist_genmf_matches_single_chip(dtype):
+    # class-node-axis-sharded GENMF == single-chip genmf on an irregular
+    # pattern (no grid hint); f32 tracks the driver's absolute-residual
+    # contract
+    from russell_tpu.parallel import (make_mesh, dist_genmf_factorize,
+                                      dist_genmf_solve)
+    from russell_tpu.sparse import genmf as _g
+
+    coo = samples.laplacian_2d(24)   # pattern only; GENMF sees a graph
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    n = coo.nrow
+    plan = _g.genmf_analyze(n, ii, jj, leaf_target=24)
+    assert max(c.n_nodes for c in plan.classes) >= 8  # actually shards
+    mesh = make_mesh(8)
+    vals = jnp.asarray(vv, dtype=dtype)
+    fac_d = dist_genmf_factorize(mesh, plan, vals)
+    fac_s = jax.jit(lambda v: _g.genmf_factorize(plan, v))(vals)
+    b = np.linspace(1.0, 2.0, n)
+    x = dist_genmf_solve(mesh, plan, fac_d, jnp.asarray(b, dtype=dtype))
+    x_s = jax.jit(lambda f, v: _g.genmf_solve(plan, f, v))(
+        fac_s, jnp.asarray(b, dtype=dtype))
+    A = np.asarray(coo.as_dense())
+    resid = np.max(np.abs(A @ np.asarray(x, dtype=np.float64) - b))
+    assert resid < (1e-9 if dtype == np.float64 else 1e-3)  # absolute
+    tol = 1e-12 if dtype == np.float64 else 1e-4
+    assert np.max(np.abs(np.asarray(x, np.float64)
+                         - np.asarray(x_s, np.float64))) < tol * (
+        1 + np.max(np.abs(np.asarray(x_s, np.float64))))
+    assert abs(float(fac_d["logdet"]) - float(fac_s["logdet"])) < (
+        1e-8 if dtype == np.float64 else 1e-2)
