@@ -66,7 +66,8 @@ import jax.numpy as jnp
 from russell_tpu.sparse.splu import _inv_block
 
 __all__ = ["GridMfPlan", "gridmf_analyze", "gridmf_factorize",
-           "gridmf_solve", "gridmf_factorize_ooc", "gridmf_store_gb"]
+           "gridmf_solve", "gridmf_factorize_ooc", "gridmf_solve_ooc",
+           "gridmf_store_gb", "gridmf_flops"]
 
 
 # ---------------------------------------------------------------------------
@@ -584,6 +585,12 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
     gridmf_factorize's (same ops, same order) with numpy level stores —
     gridmf_solve accepts it directly (jnp re-ships each level on use).
 
+    Each depth runs as its OWN cached jitted step (compiled once per
+    (plan, depth); the Schur carry is donated) — on the remote-tunnel
+    backend, fully eager op-by-op dispatch would pay a per-op round
+    trip, while one whole-factorization jit could not device_get the
+    finished depths out.
+
     ``data`` must be REAL (the complex-pair use lives in the fused ODE
     path, which never runs out-of-core; complex host transfers are also
     unimplemented on the attached backend)."""
@@ -598,40 +605,138 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
     delta = jnp.asarray(plan.pivot_epsilon * (1.0 + float(
         np.max(np.abs(data_np)))), rdt)
 
+    steps = _ooc_fact_steps.setdefault((id(plan), str(rdt)), {})
     store: List[Optional[dict]] = [None] * len(plan.levels)
     sch_re = None
     ld = 0.0
     mp = np.inf
     npc = 0
     ph = 1.0
-    for d in range(len(plan.levels) - 1, -1, -1):
-        lv = plan.levels[d]
-        fr = _assemble(lv, uniq_re, rdt)
-        if sch_re is not None:
-            tr, _ = _embed_mat(lv, plan.levels[d + 1], sch_re, None)
-            fr = fr + tr
-        e = lv.e
-        SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
-            fr[:, :e, :e], None, delta)
-        Br = fr[:, :e, e:]
-        Lr, _ = _mm(fr[:, e:, :e], None, SIr, None)
-        Ur, _ = _mm(Lr, None, Br, None)
-        new_sch = fr[:, e:, e:] - Ur
+    D = len(plan.levels) - 1
+    for d in range(D, -1, -1):
+        step = steps.get(d)
+        if step is None:
+            def make(d):
+                lv = plan.levels[d]
+
+                # TWO jits per depth, not one: the previous Schur must
+                # be FREED before the inversion intermediates peak
+                # (measured: the monolithic step RESOURCE_EXHAUSTs at
+                # 79^3, whose biggest level carries 3.7 GB of fronts)
+                def fronts(uniq, sch):
+                    fr = _assemble(lv, uniq, rdt)
+                    if sch is not None:
+                        tr, _ = _embed_mat(lv, plan.levels[d + 1], sch,
+                                           None)
+                        fr = fr + tr
+                    return fr
+
+                def factor(fr, delta):
+                    e = lv.e
+                    SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
+                        fr[:, :e, :e], None, delta)
+                    Br = fr[:, :e, e:]
+                    Lr, _ = _mm(fr[:, e:, :e], None, SIr, None)
+                    Ur, _ = _mm(Lr, None, Br, None)
+                    new_sch = fr[:, e:, e:] - Ur
+                    return SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d
+
+                return (jax.jit(fronts),
+                        jax.jit(factor, donate_argnums=(0,)))
+            step = steps[d] = make(d)
+        fr = step[0](uniq_re, sch_re)
+        jax.block_until_ready(fr)
+        del sch_re                       # free the child Schur NOW
+        SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d = step[1](fr, delta)
+        del fr
         # fetch this depth's factors to host and drop the device copies;
         # device_get also synchronizes, bounding each device call's span
-        store[d] = jax.device_get(
-            {"sir": SIr, "sii": None, "lr": Lr, "li": None,
-             "br": Br, "bi": None})
+        store[d] = {"sir": jax.device_get(SIr), "sii": None,
+                    "lr": jax.device_get(Lr), "li": None,
+                    "br": jax.device_get(Br), "bi": None}
         ld += float(ld_d)
         mp = min(mp, float(mp_d))
         npc += int(np_d)
         ph *= float(ph_d)
-        del fr, SIr, Br, Lr, Ur
+        del SIr, Lr, Br
         sch_re = new_sch
     return {"levels": store, "logdet": jnp.asarray(ld, rdt),
             "phase": jnp.asarray(ph, rdt),
             "min_pivot": jnp.asarray(mp, rdt),
             "n_perturbed": jnp.asarray(npc, jnp.int32)}
+
+
+# cached per-(plan, depth) jitted steps for the out-of-core paths
+_ooc_fact_steps: dict = {}
+_ooc_solve_steps: dict = {}
+
+
+def gridmf_solve_ooc(plan: GridMfPlan, fac, bvec):
+    """Solve with HOST-resident factors: per-depth jitted steps re-ship
+    each level's {Sinv, Lhat, B} on use (the streaming counterpart of
+    gridmf_solve; numerics identical). Real-only, like the OOC
+    factorization."""
+    rdt = fac["levels"][-1]["sir"].dtype
+    bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
+                          jnp.zeros(1, rdt)])
+    steps = _ooc_solve_steps.setdefault((id(plan), str(rdt)), {})
+    D = len(plan.levels) - 1
+
+    fe_st: List[Optional[jnp.ndarray]] = [None] * (D + 1)
+    fk = None
+    for d in range(D, -1, -1):
+        key = ("up", d)
+        step = steps.get(key)
+        if step is None:
+            def make_up(d):
+                lv = plan.levels[d]
+
+                def body(bp, fk, lr):
+                    fr = jnp.zeros((lv.n_nodes, lv.F), rdt)
+                    if fk is not None:
+                        tr, _ = _embed_vec(lv, plan.levels[d + 1], fk,
+                                           None)
+                        fr = fr + tr
+                    e = lv.e
+                    fr = fr.at[:, :e].add(bp[jnp.asarray(lv.elim_var)])
+                    fer = fr[:, :e]
+                    ur, _ = _mm(lr, None, fer[:, :, None], None)
+                    return fer, fr[:, e:] - ur[:, :, 0]
+
+                return jax.jit(body)
+            step = steps[key] = make_up(d)
+        fer, fk = step(bp, fk, fac["levels"][d]["lr"])
+        fe_st[d] = fer
+
+    x = jnp.zeros(plan.n + 1, rdt)
+    xk = None
+    xf = None
+    for d in range(0, D + 1):
+        key = ("down", d)
+        step = steps.get(key)
+        if step is None:
+            def make_down(d):
+                lv = plan.levels[d]
+
+                def body(x, fer, xf, sir, br):
+                    if d == 0:
+                        xk = jnp.zeros((1, lv.r), rdt)
+                    else:
+                        xk, _ = _restrict_vec(lv, xf, None)
+                    br_, _ = _mm(br, None, xk[:, :, None], None)
+                    rr = fer - br_[:, :, 0]
+                    xer, _ = _mm(sir, None, rr[:, :, None], None)
+                    xer = xer[:, :, 0]
+                    ev = jnp.asarray(lv.elim_var)
+                    x = x.at[ev.reshape(-1)].set(xer.reshape(-1),
+                                                 mode="drop")
+                    return x, jnp.concatenate([xer, xk], axis=1)
+
+                return jax.jit(body, donate_argnums=(0,))
+            step = steps[key] = make_down(d)
+        x, xf = step(x, fe_st[d], xf, fac["levels"][d]["sir"],
+                     fac["levels"][d]["br"])
+    return x[:plan.n]
 
 
 def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None):
