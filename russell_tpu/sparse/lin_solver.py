@@ -251,19 +251,87 @@ class LinSolver:
     # -- solve ----------------------------------------------------------------
 
     def solve(self, rhs, verbose: bool = False):
-        """x = A^{-1} rhs (jittable kernel; requires factorize first)."""
+        """x = A^{-1} rhs (jittable kernel; requires factorize first).
+
+        Under mixed precision (f32 factors), solves carry automatic
+        PRECISION ESCALATION (the LAPACK dsgesv / cuDSS fallback
+        contract): if the componentwise backward error after adaptive
+        refinement + FGMRES-IR still exceeds ~1e4 eps of the input
+        dtype — restarted Krylov stalls when f32 factors distort too
+        many smooth modes (measured: laplacian_2d at n=10^6 floors at
+        3.8e-5) — the matrix is refactorized ONCE at full precision
+        (GRIDMF/GENMF/SPLU are GEMM-only, so f64 factors work on TPU,
+        which has no f64 LU/triangular LAPACK kernels) and the solve is
+        repeated. ``stats.output['precision_escalated']`` records it.
+        """
         if not self._factorized:
             raise RuntimeError("factorize must be called before solve")
         t0 = time.perf_counter_ns()
-        x = self._solve_fn(self.fac, jnp.asarray(rhs))
+        rhs = jnp.asarray(rhs)
+        x = self._solve_fn(self.fac, rhs)
         x.block_until_ready()
+        if (getattr(self.plan, "mixed32", False)
+                and not getattr(self, "_escalated", False)):
+            w = self._backward_error(x, rhs)
+            eps_in = float(np.finfo(np.asarray(
+                self._vals_full).real.dtype).eps)
+            if w > 1e4 * eps_in:
+                self._escalate_precision()
+                x = self._solve_fn(self.fac, rhs)
+                x.block_until_ready()
         self.stats.time_nanoseconds["solve"] = time.perf_counter_ns() - t0
         p = getattr(self, "_params", None)
         if p is not None and (p.compute_error_estimates
                               or p.compute_condition_numbers):
-            self._error_analysis(x, jnp.asarray(rhs),
-                                 p.compute_condition_numbers)
+            self._error_analysis(x, rhs, p.compute_condition_numbers)
         return x
+
+    def _backward_error(self, x, b) -> float:
+        """Componentwise (Arioli-Demmel-Duff omega_1) backward error of
+        the UNSCALED system — one SpMV pair, cheap relative to a solve."""
+        plan = self.plan
+        rows = jnp.asarray(plan.rows)
+        cols = jnp.asarray(plan.cols)
+        vals = self._vals_full
+        xj = jnp.asarray(x).astype(vals.dtype)
+        bj = jnp.asarray(b).astype(vals.dtype)
+        ax = jax.ops.segment_sum(vals * xj[cols], rows,
+                                 num_segments=plan.n)
+        denom = jax.ops.segment_sum(jnp.abs(vals) * jnp.abs(xj)[cols],
+                                    rows, num_segments=plan.n) \
+            + jnp.abs(bj)
+        tiny = np.finfo(np.float64).tiny
+        return float(jnp.max(jnp.abs(bj - ax)
+                             / jnp.maximum(denom, tiny)))
+
+    def _escalate_precision(self):
+        """Refactorize at full input precision, keeping the resolved
+        genie, ordering inputs and structure (the frozen-structure
+        contract is untouched — same pattern, new numeric plan)."""
+        plan = self.plan
+        params = getattr(self, "_params", None) or LinSolParams()
+        self.plan = _factor.analyze(
+            plan.n, plan.rows, plan.cols, genie=plan.genie,
+            ordering=params.ordering, scaling=params.scaling,
+            pivot_epsilon=params.pivot_epsilon,
+            refine_steps=params.refinement_nstep,
+            dense_threshold=params.dense_threshold,
+            max_block=params.max_block, grid=params.grid,
+            mixed_precision=False,
+        )
+        plan2 = self.plan
+        if getattr(plan2, "gridmf_ooc", False):
+            self._fact_fn = lambda d: _factor.numeric_factorize(plan2, d)
+            self._solve_fn = lambda f, b: _factor.factor_solve(plan2, f, b)
+        else:
+            self._fact_fn = jax.jit(
+                lambda d: _factor.numeric_factorize(plan2, d))
+            self._solve_fn = jax.jit(
+                lambda f, b: _factor.factor_solve(plan2, f, b))
+        self.fac = self._fact_fn(self._vals_full)
+        self.fac["logdet"].block_until_ready()
+        self._escalated = True
+        self.stats.output["precision_escalated"] = True
 
     def _error_analysis(self, x, b, with_cond: bool):
         """MUMPS ICNTL(11)-style error analysis (RINFOG(4..11) analogs;

@@ -345,3 +345,27 @@ def test_gridmf_mixed_precision_backward_error_at_machine_eps():
     w = np.max(np.abs(A @ x - b) / (np.abs(A) @ np.abs(x) + np.abs(b)
                                     + 1e-300))
     assert w < 5 * np.finfo(np.float64).eps, w
+
+
+def test_gridmf_mixed_precision_anisotropic_fgmres():
+    # strong anisotropy widens kappa(A) past what plain refinement can
+    # close with f32 factors; the Givens-QR FGMRES tier must still reach
+    # ~machine eps. Also covers the GMRES 'lucky breakdown' path: with a
+    # twice-refined preconditioner h_{j+1,j} underflows mid-cycle
+    # (measured 1.5e-10 at j=0), which poisoned the earlier
+    # normal-equations least-squares solve.
+    from russell_tpu.sparse import samples as _ssamples
+    coo = _ssamples.laplacian_2d(64, kx=1.0, ky=1e-6)
+    rows = np.asarray(coo.indices_i[:coo.nnz])
+    cols = np.asarray(coo.indices_j[:coo.nnz])
+    vals = np.asarray(coo.values[:coo.nnz])
+    plan = _factor.analyze(coo.nrow, rows, cols, genie=Genie.GRIDMF,
+                           grid=(64, 64, 1), mixed_precision=True)
+    fac = _factor.numeric_factorize(plan, jnp.asarray(vals))
+    b = np.sin(np.arange(coo.nrow))
+    x = np.asarray(_factor.factor_solve(plan, fac, jnp.asarray(b)))
+    A = np.zeros((coo.nrow, coo.nrow))
+    np.add.at(A, (rows, cols), vals)
+    w = np.max(np.abs(A @ x - b) / (np.abs(A) @ np.abs(x) + np.abs(b)
+                                    + 1e-300))
+    assert w < 5 * np.finfo(np.float64).eps, w

@@ -655,3 +655,45 @@ def test_newton_nonlinear_system_through_lin_solver():
         u = u - np.asarray(solver.solve(rr))
         it += 1
     assert it == 5
+
+
+def test_precision_escalation_on_extreme_conditioning():
+    # LAPACK-dsgesv-style fallback: kappa ~ 1e9 makes f32 factors a
+    # useless preconditioner (kappa * eps32 >> 1), so refinement and
+    # FGMRES-IR cannot reach input-precision backward error; the solver
+    # must refactorize at full precision ONCE and record it
+    import numpy as np
+    import jax.numpy as jnp
+    from russell_tpu.sparse import (CooMatrix, Genie, LinSolver,
+                                    LinSolParams, VerifyLinSys)
+
+    n = 60
+    rng = np.random.default_rng(0)
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    d = np.logspace(0, 9, n)
+    A = (q * d) @ q.T
+    ii, jj = np.nonzero(np.ones((n, n)))
+    vals = A[ii, jj]
+    m = CooMatrix.from_arrays(n, n, ii, jj, vals)
+    sol = LinSolver(Genie.AUTO)
+    sol.factorize(m, LinSolParams(mixed_precision=True))
+    b = np.ones(n)
+    x = sol.solve(b)
+    assert sol.stats.output.get("precision_escalated") is True
+    v = VerifyLinSys.from_system(m, x, b)
+    assert v.relative_error < 1e-10
+    # second solve reuses the escalated factors (no re-escalation churn)
+    x2 = sol.solve(np.arange(1.0, n + 1.0))
+    assert np.all(np.isfinite(np.asarray(x2)))
+
+
+def test_no_escalation_when_mixed_precision_suffices():
+    import numpy as np
+    from russell_tpu.sparse import Genie, LinSolver, LinSolParams, samples
+
+    coo = samples.laplacian_2d(24)
+    sol = LinSolver(Genie.GRIDMF)
+    sol.factorize(coo, LinSolParams(grid=(24, 24, 1),
+                                    mixed_precision=True))
+    sol.solve(np.ones(coo.nrow))
+    assert "precision_escalated" not in sol.stats.output
