@@ -38,7 +38,13 @@ CASES = {
     "bfwb62": ("mtx:/root/reference/russell_sparse/data/matrix_market/"
                "bfwb62.mtx", "splu", 600),
     "laplacian_2d_317": ("laplacian_2d:317", "gridmf", 1800),
-    "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 3600),
+    # kappa ~ 4e5: f32 factors cannot reach the 1e-10 bar (LinSolver
+    # would auto-escalate to f64 mid-case, paying BOTH compiles — over
+    # an hour over the remote tunnel); configure f64 factors up front.
+    # GRIDMF is GEMM-only, so f64 works on TPU despite its missing f64
+    # LU/triangular kernels.
+    "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 7200,
+                          {"mixed_precision": False}),
     # 3-D grid sizes chosen pad-friendly for the ND bisection
     # (63 = 2^4*4-1 exact). GRIDMF factor storage is the O(n^{4/3})
     # multifrontal law: 2.4 GB at 63^3, 6.9 GB at 79^3, 19.7 GB at
@@ -48,12 +54,14 @@ CASES = {
     "laplacian_3d_50": ("laplacian_3d:50", "splu", 1800),
     "laplacian_3d_63": ("laplacian_3d:63", "gridmf", 3600),
     "laplacian_3d_79": ("laplacian_3d:79", "gridmf", 3600),
-    "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 3600),
+    # out-of-core: factors (19.7 GB/plane) stream to host RAM; solves
+    # re-ship per level over the remote tunnel -> generous timeout
+    "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 10800),
     "conv_diff_3d_63": ("laplacian_3d:63:0.5", "gridmf", 3600),
     # Raj1-class irregular (circuit/FEM stand-in, n=263743 like Raj1):
     # random-geometric graph, no grid hint — the GENMF general-matrix
     # multifrontal path (reference bar: Raj1_MUMPS.json factorize 81.8ms)
-    "geometric_264k": ("geometric:263743", "genmf", 3600),
+    "geometric_264k": ("geometric:263743", "genmf", 7200),
 }
 
 
@@ -100,13 +108,16 @@ def run_case(name: str) -> int:
     from russell_tpu.sparse import (Genie, LinSolParams, LinSolver,
                                     VerifyLinSys)
 
-    spec, genie, _tmo = CASES[name]
+    case = CASES[name]
+    spec, genie, _tmo = case[0], case[1], case[2]
+    overrides = case[3] if len(case) > 3 else {}
     t0 = time.perf_counter_ns()
     coo = _build(spec)
     t_read = time.perf_counter_ns() - t0
 
     solver = LinSolver(Genie.from_name(genie))
-    solver.factorize(coo, LinSolParams(grid=_grid_hint(spec)))
+    lsp = LinSolParams(grid=_grid_hint(spec), **overrides)
+    solver.factorize(coo, lsp)
     rhs = np.ones(coo.nrow, dtype=np.asarray(coo.values).dtype)
     x = solver.solve(rhs)
     verify = VerifyLinSys.from_system(coo, x, rhs)
@@ -116,7 +127,7 @@ def run_case(name: str) -> int:
     # compile (minutes over the remote tunnel); production re-factorizes
     # the same structure, so record the steady-state numbers too
     t0 = time.perf_counter_ns()
-    solver.factorize(coo, LinSolParams(grid=_grid_hint(spec)))
+    solver.factorize(coo, lsp)
     fact_warm = time.perf_counter_ns() - t0
     t0 = time.perf_counter_ns()
     solver.solve(rhs)
@@ -174,7 +185,8 @@ def main() -> int:
     if os.path.exists(spath):
         with open(spath) as fh:
             summary = json.load(fh)
-    for name, (_spec, _genie, tmo) in CASES.items():
+    for name, case in CASES.items():
+        _genie, tmo = case[1], case[2]
         if args.only and name not in args.only:
             continue
         t0 = time.time()
