@@ -622,13 +622,25 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
                 # TWO jits per depth, not one: the previous Schur must
                 # be FREED before the inversion intermediates peak
                 # (measured: the monolithic step RESOURCE_EXHAUSTs at
-                # 79^3, whose biggest level carries 3.7 GB of fronts)
+                # 79^3, whose biggest level carries 3.7 GB of fronts).
+                # The extend-add SCATTERS the child Schur into the
+                # fronts (r^2-sized updates) instead of the in-core
+                # path's gather embedding, whose two full-front-sized
+                # intermediates per side (~3x fronts) also exhaust HBM
+                # at 79^3. Scatter is slower per element — acceptable
+                # on the streaming path, fatal to peak memory nowhere.
                 def fronts(uniq, sch):
                     fr = _assemble(lv, uniq, rdt)
                     if sch is not None:
-                        tr, _ = _embed_mat(lv, plan.levels[d + 1], sch,
-                                           None)
-                        fr = fr + tr
+                        child = plan.levels[d + 1]
+                        r = sch.shape[-1]
+                        Sp = sch.reshape(lv.n_nodes, 2, r, r)
+                        for side in (0, 1):
+                            m = child.emb[side].copy()
+                            m[m < 0] = lv.F          # OOB -> dropped
+                            mj = jnp.asarray(m)
+                            fr = fr.at[:, mj[:, None], mj[None, :]].add(
+                                Sp[:, side], mode="drop")
                     return fr
 
                 def factor(fr, delta):
