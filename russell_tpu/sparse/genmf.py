@@ -445,26 +445,27 @@ def _assemble(c: _GClass, uniq, dtype, ghost=True):
 def _gather_schur(link: _GLink, S):
     """(m, F_p, F_p) block of one child class's padded Schur.
 
-    Both gathers run along axis=1 (second-major) with a swapaxes in
-    between: a take_along_axis on the MINOR axis trips an XLA:TPU
-    compiler assertion (GatherType::kSublaneGather, observed 2026-08-19
-    on the attached backend at n=30k fronts)."""
-    Spad = jnp.pad(S, ((0, 0), (0, 1), (0, 1)))
-    sub = Spad[jnp.asarray(link.child_slot)]
+    ONE flat dim-0 gather: any multi-dim take_along_axis (minor axis or
+    not) aborts the attached backend's compiler
+    (fusion_emitter GatherType::kSublaneGather check, observed
+    2026-08-19 at 30k fronts); flat dim-0 gathers are the pattern the
+    GRIDMF/SPLU engines already run on-chip successfully."""
+    r1 = S.shape[-1] + 1
+    Spad = jnp.pad(S, ((0, 0), (0, 1), (0, 1))).reshape(-1)
+    cs = jnp.asarray(link.child_slot)
     inv = jnp.asarray(link.inv)
-    g = jnp.take_along_axis(sub, inv[:, :, None], axis=1)  # (m, F_p, r+1)
-    g = jnp.swapaxes(g, 1, 2)                              # (m, r+1, F_p)
-    g = jnp.take_along_axis(g, inv[:, :, None], axis=1)    # (m, F_p, F_p)
-    return jnp.swapaxes(g, 1, 2)
+    idx = (cs[:, None, None] * (r1 * r1)
+           + inv[:, :, None] * r1 + inv[:, None, :])
+    return Spad[idx]
 
 
 def _gather_vec(link: _GLink, v):
-    # 3-D form keeps the gather off the minor axis (see _gather_schur)
-    vpad = jnp.pad(v, ((0, 0), (0, 1)))
-    sub = vpad[jnp.asarray(link.child_slot)][:, :, None]
-    out = jnp.take_along_axis(sub, jnp.asarray(link.inv)[:, :, None],
-                              axis=1)
-    return out[:, :, 0]
+    # flat dim-0 gather (see _gather_schur)
+    r1 = v.shape[-1] + 1
+    vpad = jnp.pad(v, ((0, 0), (0, 1))).reshape(-1)
+    cs = jnp.asarray(link.child_slot)
+    inv = jnp.asarray(link.inv)
+    return vpad[cs[:, None] * r1 + inv]
 
 
 def genmf_factorize(plan: GenMfPlan, data, shard=None):
@@ -607,23 +608,23 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
                             ((0, 0), (0, 1)))
             xf_im = (jnp.pad(jnp.concatenate([xei, xki], axis=1),
                              ((0, 0), (0, 1))) if cplx else None)
+            F1 = xf_re.shape[-1]
+            xfr_flat = xf_re.reshape(-1)
+            xfi_flat = xf_im.reshape(-1) if cplx else None
             for link in c.links:
-                # 3-D gather keeps the index axis off the minor dim
-                # (kSublaneGather workaround, see _gather_schur)
-                fwdj = jnp.asarray(link.fwd)[:, :, None]
+                # flat dim-0 gather (kSublaneGather workaround,
+                # see _gather_schur)
+                flat_idx = (jnp.asarray(link.parent_slot)[:, None] * F1
+                            + jnp.asarray(link.fwd))
                 cs = jnp.asarray(link.child_slot)
                 src = plan.classes[link.src]
-                vals = jnp.take_along_axis(
-                    xf_re[jnp.asarray(link.parent_slot)][:, :, None],
-                    fwdj, axis=1)[:, :, 0]
+                vals = xfr_flat[flat_idx]
                 tgt = xk_re.get(link.src)
                 if tgt is None:
                     tgt = jnp.zeros((src.n_nodes, src.r), rdt)
                 xk_re[link.src] = tgt.at[cs].set(vals)
                 if cplx:
-                    vi = jnp.take_along_axis(
-                        xf_im[jnp.asarray(link.parent_slot)][:, :, None],
-                        fwdj, axis=1)[:, :, 0]
+                    vi = xfi_flat[flat_idx]
                     ti_ = xk_im.get(link.src)
                     if ti_ is None:
                         ti_ = jnp.zeros((src.n_nodes, src.r), rdt)
