@@ -451,21 +451,24 @@ def _gather_schur(link: _GLink, S):
     2026-08-19 at 30k fronts); flat dim-0 gathers are the pattern the
     GRIDMF/SPLU engines already run on-chip successfully."""
     r1 = S.shape[-1] + 1
+    m, Fp = link.inv.shape
     Spad = jnp.pad(S, ((0, 0), (0, 1), (0, 1))).reshape(-1)
-    cs = jnp.asarray(link.child_slot)
-    inv = jnp.asarray(link.inv)
-    idx = (cs[:, None, None] * (r1 * r1)
-           + inv[:, :, None] * r1 + inv[:, None, :])
-    return Spad[idx]
+    # precompute the FLAT index on the host (constant in the jaxpr) and
+    # gather 1-D -> 1-D: the only gather form this backend's fusion
+    # emitter accepts for per-row index patterns
+    idx = (link.child_slot[:, None, None] * (r1 * r1)
+           + link.inv[:, :, None] * r1
+           + link.inv[:, None, :]).reshape(-1)
+    return Spad[jnp.asarray(idx)].reshape(m, Fp, Fp)
 
 
 def _gather_vec(link: _GLink, v):
     # flat dim-0 gather (see _gather_schur)
     r1 = v.shape[-1] + 1
+    m, Fp = link.inv.shape
     vpad = jnp.pad(v, ((0, 0), (0, 1))).reshape(-1)
-    cs = jnp.asarray(link.child_slot)
-    inv = jnp.asarray(link.inv)
-    return vpad[cs[:, None] * r1 + inv]
+    idx = (link.child_slot[:, None] * r1 + link.inv).reshape(-1)
+    return vpad[jnp.asarray(idx)].reshape(m, Fp)
 
 
 def genmf_factorize(plan: GenMfPlan, data, shard=None):
@@ -614,17 +617,19 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
             for link in c.links:
                 # flat dim-0 gather (kSublaneGather workaround,
                 # see _gather_schur)
-                flat_idx = (jnp.asarray(link.parent_slot)[:, None] * F1
-                            + jnp.asarray(link.fwd))
+                m_l, r_l = link.fwd.shape
+                flat_idx = jnp.asarray(
+                    (link.parent_slot[:, None] * F1 + link.fwd
+                     ).reshape(-1))
                 cs = jnp.asarray(link.child_slot)
                 src = plan.classes[link.src]
-                vals = xfr_flat[flat_idx]
+                vals = xfr_flat[flat_idx].reshape(m_l, r_l)
                 tgt = xk_re.get(link.src)
                 if tgt is None:
                     tgt = jnp.zeros((src.n_nodes, src.r), rdt)
                 xk_re[link.src] = tgt.at[cs].set(vals)
                 if cplx:
-                    vi = xfi_flat[flat_idx]
+                    vi = xfi_flat[flat_idx].reshape(m_l, r_l)
                     ti_ = xk_im.get(link.src)
                     if ti_ is None:
                         ti_ = jnp.zeros((src.n_nodes, src.r), rdt)
