@@ -76,6 +76,10 @@ class SolvePlan:
     gridmf_ooc: bool = False
     # GENMF (general-matrix nested-dissection multifrontal):
     genmf_plan: Optional["_genmf.GenMfPlan"] = None
+    # run GENMF as host-driven per-class jitted steps: the attached TPU
+    # backend's fusion emitter aborts on the whole-program graph
+    # (kSublaneGather check), while every class step compiles fine
+    genmf_steps: bool = False
     # options
     scaling: Scaling = Scaling.MAX
     pivot_epsilon: float = 1e-14
@@ -195,6 +199,7 @@ def analyze(
                                      pivot_epsilon=pivot_epsilon)
         return SolvePlan(Genie.GENMF, n, rows, cols,
                          genmf_plan=gplan,
+                         genmf_steps=jax.default_backend() != "cpu",
                          scaling=Scaling.MAX if scaling == Scaling.AUTO
                          else scaling,
                          pivot_epsilon=pivot_epsilon,
@@ -594,9 +599,12 @@ def numeric_factorize(plan: SolvePlan, data):
         return fac
     if plan.genie == Genie.GENMF:
         data, rs, cs = _equilibrate(plan, data)
-        fac = _genmf.genmf_factorize(
-            plan.genmf_plan,
-            data.astype(_factor_dtype(plan, data.dtype)))
+        d = data.astype(_factor_dtype(plan, data.dtype))
+        if (plan.genmf_steps and not isinstance(data, jax.core.Tracer)
+                and not jnp.iscomplexobj(d)):
+            fac = _genmf.genmf_factorize_steps(plan.genmf_plan, d)
+        else:
+            fac = _genmf.genmf_factorize(plan.genmf_plan, d)
         fac["rs"] = rs
         fac["cs"] = cs
         fac["data"] = data
@@ -686,7 +694,11 @@ def _solve_once(plan: SolvePlan, fac, b):
     if plan.genie == Genie.GENMF:
         out_dtype = fac["data"].dtype
         y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
-        x = _genmf.genmf_solve(plan.genmf_plan, fac, y)
+        if (plan.genmf_steps and not isinstance(y, jax.core.Tracer)
+                and not jnp.iscomplexobj(y)):
+            x = _genmf.genmf_solve_steps(plan.genmf_plan, fac, y)
+        else:
+            x = _genmf.genmf_solve(plan.genmf_plan, fac, y)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
     if plan.use_bcr:
         return _banded_solve_bcr(plan, fac, b)

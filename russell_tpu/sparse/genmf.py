@@ -50,7 +50,8 @@ import jax.numpy as jnp
 from russell_tpu.sparse.splu import _inv_block
 from russell_tpu.sparse.gridmf import _mm, _inv_planes
 
-__all__ = ["GenMfPlan", "genmf_analyze", "genmf_factorize", "genmf_solve"]
+__all__ = ["GenMfPlan", "genmf_analyze", "genmf_factorize", "genmf_solve",
+           "genmf_factorize_steps", "genmf_solve_steps"]
 
 
 # ---------------------------------------------------------------------------
@@ -638,3 +639,159 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
         cdt = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
         return (x_re[:plan.n].astype(cdt) + 1j * x_im[:plan.n].astype(cdt))
     return x_re[:plan.n]
+
+
+# ---------------------------------------------------------------------------
+# stepped (per-class jit) drivers — the attached backend's fusion emitter
+# aborts on the WHOLE-program GENMF graph (kSublaneGather check in
+# fusion_emitter.cc; every stage compiles and runs fine in isolation,
+# bisected on-chip 2026-08-19), so these keep class boundaries as jit
+# boundaries. Real-only (the MM benchmark class); complex stays on the
+# single-program path (CPU/virtual meshes compile it fine).
+# ---------------------------------------------------------------------------
+
+_step_cache: Dict = {}
+
+
+def genmf_factorize_steps(plan: GenMfPlan, data):
+    """Host-driven numeric phase: one cached jitted step per class.
+    Numerics identical to ``genmf_factorize`` (same ops, same order);
+    the fac pytree is interchangeable."""
+    data = jnp.asarray(data)
+    if jnp.iscomplexobj(data):
+        raise NotImplementedError("stepped genmf is real-only")
+    rdt = data.dtype
+    steps = _step_cache.setdefault(("fact", id(plan), str(rdt)), {})
+    uniq = _presum(plan, data)
+    delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(rdt)
+
+    store = [None] * len(plan.classes)
+    schur: Dict[int, jnp.ndarray] = {}
+    ld = jnp.zeros((), rdt)
+    mp = jnp.asarray(jnp.inf, rdt)
+    npc = jnp.zeros((), jnp.int32)
+    ph = jnp.ones((), rdt)
+    for ci, c in enumerate(plan.classes):
+        step = steps.get(ci)
+        if step is None:
+            def make(ci, c):
+                def body(uniq, delta, *schur_srcs):
+                    fr = _assemble(c, uniq, rdt)
+                    for link, S in zip(c.links, schur_srcs):
+                        fr = fr.at[jnp.asarray(link.parent_slot)].add(
+                            _gather_schur(link, S))
+                    e = c.e
+                    SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
+                        fr[:, :e, :e], None, delta)
+                    Br = fr[:, :e, e:]
+                    if c.r:
+                        Lr, _ = _mm(fr[:, e:, :e], None, SIr, None)
+                        Ur, _ = _mm(Lr, None, Br, None)
+                        new_sch = fr[:, e:, e:] - Ur
+                    else:
+                        Lr = new_sch = jnp.zeros((c.n_nodes, 0, 0), rdt)
+                    return SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d
+                return jax.jit(body)
+            step = steps[ci] = make(ci, c)
+        srcs = [schur[link.src] for link in c.links]
+        SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d = step(
+            uniq, delta, *srcs)
+        if c.r:
+            schur[ci] = new_sch
+        store[ci] = {"sir": SIr, "sii": None,
+                     "lr": Lr if c.r else None, "li": None,
+                     "br": Br if c.r else None, "bi": None}
+        ld = ld + ld_d
+        mp = jnp.minimum(mp, mp_d)
+        npc = npc + np_d
+        ph = ph * ph_d.astype(rdt)
+    return {"classes": store, "logdet": ld, "phase": ph, "min_pivot": mp,
+            "n_perturbed": npc}
+
+
+def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
+    """Host-driven solve: per-class jitted up/down steps (see
+    genmf_factorize_steps). Real-only; numerics identical to
+    genmf_solve."""
+    first = next(st for st in fac["classes"] if st["sir"] is not None)
+    rdt = first["sir"].dtype
+    steps = _step_cache.setdefault(("solve", id(plan), str(rdt)), {})
+    bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
+                          jnp.zeros(1, rdt)])
+
+    fe_st = [None] * len(plan.classes)
+    fk: Dict[int, jnp.ndarray] = {}
+    for ci, c in enumerate(plan.classes):
+        key = ("up", ci)
+        step = steps.get(key)
+        if step is None:
+            def make_up(ci, c):
+                def body(bp, lr, *fk_srcs):
+                    fr = jnp.zeros((c.n_nodes, c.F), rdt)
+                    for link, v in zip(c.links, fk_srcs):
+                        fr = fr.at[jnp.asarray(link.parent_slot)].add(
+                            _gather_vec(link, v))
+                    e = c.e
+                    fr = fr.at[:, :e].add(bp[jnp.asarray(c.elim_var)])
+                    fer = fr[:, :e]
+                    if c.r:
+                        ur, _ = _mm(lr, None, fer[:, :, None], None)
+                        return fer, fr[:, e:] - ur[:, :, 0]
+                    return fer, jnp.zeros((c.n_nodes, 0), rdt)
+                return jax.jit(body)
+            step = steps[key] = make_up(ci, c)
+        srcs = [fk[link.src] for link in c.links]
+        fer, fkv = step(bp, fac["classes"][ci]["lr"], *srcs)
+        fe_st[ci] = fer
+        if c.r:
+            fk[ci] = fkv
+
+    x = jnp.zeros(plan.n + 1, rdt)
+    xk: Dict[int, jnp.ndarray] = {}
+    for ci in range(len(plan.classes) - 1, -1, -1):
+        c = plan.classes[ci]
+        key = ("down", ci)
+        step = steps.get(key)
+        if step is None:
+            def make_down(ci, c):
+                def body(x, fer, xkr, sir, br):
+                    if c.r:
+                        br_, _ = _mm(br, None, xkr[:, :, None], None)
+                        rr = fer - br_[:, :, 0]
+                    else:
+                        rr = fer
+                    xer, _ = _mm(sir, None, rr[:, :, None], None)
+                    xer = xer[:, :, 0]
+                    ev = jnp.asarray(c.elim_var)
+                    x = x.at[ev.reshape(-1)].set(xer.reshape(-1),
+                                                 mode="drop")
+                    if c.links:
+                        xf = jnp.pad(jnp.concatenate([xer, xkr], axis=1),
+                                     ((0, 0), (0, 1)))
+                        xf_flat = xf.reshape(-1)
+                        outs = []
+                        F1 = xf.shape[-1]
+                        for link in c.links:
+                            m_l, r_l = link.fwd.shape
+                            flat_idx = jnp.asarray(
+                                (link.parent_slot[:, None] * F1
+                                 + link.fwd).reshape(-1))
+                            outs.append(
+                                xf_flat[flat_idx].reshape(m_l, r_l))
+                        return (x, *outs)
+                    return (x,)
+                return jax.jit(body, donate_argnums=(0,))
+            step = steps[key] = make_down(ci, c)
+        xkr = xk.pop(ci, None)
+        if xkr is None:
+            xkr = jnp.zeros((c.n_nodes, c.r), rdt)
+        out = step(x, fe_st[ci], xkr, fac["classes"][ci]["sir"],
+                   fac["classes"][ci]["br"])
+        x = out[0]
+        for link, vals in zip(c.links, out[1:]):
+            src = plan.classes[link.src]
+            tgt = xk.get(link.src)
+            if tgt is None:
+                tgt = jnp.zeros((src.n_nodes, src.r), rdt)
+            xk[link.src] = tgt.at[jnp.asarray(link.child_slot)].set(vals)
+    return x[:plan.n]

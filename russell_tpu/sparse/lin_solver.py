@@ -177,7 +177,8 @@ class LinSolver:
             )
             self._structure = structure
             plan = self.plan
-            if getattr(plan, "gridmf_ooc", False):
+            if getattr(plan, "gridmf_ooc", False) or getattr(
+                    plan, "genmf_steps", False):
                 # out-of-core: the numeric phase streams factors to host
                 # RAM via device_get — it must run EAGERLY (a jitted
                 # wrapper would both trace the device_get and re-ship the
@@ -196,7 +197,8 @@ class LinSolver:
                 ordering=params.ordering.name, scaling=params.scaling.name)
             self.stats.output["effective_ordering"] = plan.effective_ordering
             self.stats.output["effective_scaling"] = plan.scaling.name
-            if getattr(plan, "gridmf_ooc", False):
+            if getattr(plan, "gridmf_ooc", False) or getattr(
+                    plan, "genmf_steps", False):
                 self.stats.output["out_of_core"] = True
             self.stats.time_nanoseconds["initialize"] = time.perf_counter_ns() - t0
         elif structure != self._structure:

@@ -182,3 +182,21 @@ def test_genmf_brusselator_jacobian_no_hint():
     A = np.zeros((n, n))
     np.add.at(A, (rows, cols), data)
     assert np.max(np.abs(A @ x - np.asarray(b))) < 1e-9
+
+
+def test_genmf_stepped_drivers_match_single_program():
+    # per-class jitted steps (the TPU fusion-emitter workaround path)
+    # must reproduce the single-program factorize/solve exactly
+    ii, jj, vals = _irregular_coo(700, 4)
+    n = 700
+    plan = genmf_analyze(n, ii, jj, leaf_target=48)
+    from russell_tpu.sparse.genmf import (genmf_factorize_steps,
+                                          genmf_solve_steps)
+    v = jnp.asarray(vals)
+    b = jnp.asarray(np.sin(np.arange(n)))
+    fac1 = genmf_factorize(plan, v)
+    x1 = np.asarray(genmf_solve(plan, fac1, b))
+    fac2 = genmf_factorize_steps(plan, v)
+    x2 = np.asarray(genmf_solve_steps(plan, fac2, b))
+    assert np.max(np.abs(x1 - x2)) < 1e-12 * max(1.0, np.max(np.abs(x1)))
+    assert abs(float(fac1["logdet"]) - float(fac2["logdet"])) < 1e-9

@@ -52,8 +52,10 @@ def run_one(n: int, leaf: int, cpu: bool = False) -> None:
 
     vals = jnp.asarray(vv.astype(np.float32))
     b = jnp.asarray(np.linspace(1.0, 2.0, n).astype(np.float32))
-    fact = jax.jit(lambda d: genmf.genmf_factorize(plan, d))
-    solve = jax.jit(lambda f, v: genmf.genmf_solve(plan, f, v))
+    # stepped per-class drivers: the whole-program graph aborts the
+    # attached backend's fusion emitter (see sparse/genmf.py notes)
+    fact = lambda d: genmf.genmf_factorize_steps(plan, d)
+    solve = lambda f, v: genmf.genmf_solve_steps(plan, f, v)
 
     t = time.perf_counter()
     fac = jax.block_until_ready(fact(vals))
