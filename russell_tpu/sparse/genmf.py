@@ -732,7 +732,12 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                         fr = fr.at[jnp.asarray(link.parent_slot)].add(
                             _gather_vec(link, v))
                     e = c.e
-                    fr = fr.at[:, :e].add(bp[jnp.asarray(c.elim_var)])
+                    # 1-D gather (kSublaneGather workaround): the 2-D
+                    # index form aborts the server compiler inside this
+                    # step's fusion
+                    ev_flat = jnp.asarray(c.elim_var.reshape(-1))
+                    fr = fr.at[:, :e].add(
+                        bp[ev_flat].reshape(c.n_nodes, e))
                     fer = fr[:, :e]
                     if c.r:
                         ur, _ = _mm(lr, None, fer[:, :, None], None)
