@@ -729,15 +729,17 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                 def body(bp, lr, *fk_srcs):
                     fr = jnp.zeros((c.n_nodes, c.F), rdt)
                     for link, v in zip(c.links, fk_srcs):
-                        fr = fr.at[jnp.asarray(link.parent_slot)].add(
+                        # optimization_barrier: fusing these gathers
+                        # into the scatter/slice consumers aborts the
+                        # server compiler (kSublaneGather check)
+                        g = jax.lax.optimization_barrier(
                             _gather_vec(link, v))
+                        fr = fr.at[jnp.asarray(link.parent_slot)].add(g)
                     e = c.e
-                    # 1-D gather (kSublaneGather workaround): the 2-D
-                    # index form aborts the server compiler inside this
-                    # step's fusion
                     ev_flat = jnp.asarray(c.elim_var.reshape(-1))
-                    fr = fr.at[:, :e].add(
+                    gb = jax.lax.optimization_barrier(
                         bp[ev_flat].reshape(c.n_nodes, e))
+                    fr = fr.at[:, :e].add(gb)
                     fer = fr[:, :e]
                     if c.r:
                         ur, _ = _mm(lr, None, fer[:, :, None], None)
