@@ -653,25 +653,52 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
                     new_sch = fr[:, e:, e:] - Ur
                     return SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d
 
-                return (jax.jit(fronts),
-                        jax.jit(factor, donate_argnums=(0,)))
+                return (jax.jit(fronts), jax.jit(factor))
             step = steps[d] = make(d)
         fr = step[0](uniq_re, sch_re)
         jax.block_until_ready(fr)
         del sch_re                       # free the child Schur NOW
-        SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d = step[1](fr, delta)
+        # chunk the node batch: at 79^3 the biggest level's fronts are
+        # 3.7 GB and the factor step's outputs + recursive-Schur inverse
+        # intermediates on the WHOLE batch exceed HBM even with the
+        # fronts/factor split (measured RESOURCE_EXHAUSTED); chunks keep
+        # the working set ~fr + fr/nch. Chunk boundaries stay
+        # even-aligned so the 2i/2i+1 child pairing of the next depth's
+        # extend-add is preserved when the Schur chunks re-concatenate.
+        lv = plan.levels[d]
+        fr_bytes = fr.size * fr.dtype.itemsize
+        nch = max(1, int(np.ceil(fr_bytes / (1.5 * 2 ** 30))))
+        chunk = max(2, 2 * int(np.ceil(lv.n_nodes / (2 * nch))))
+        parts_sir, parts_lr, parts_br, parts_sch = [], [], [], []
+        ld_d = 0.0
+        mp_d = np.inf
+        np_d = 0
+        ph_d = 1.0
+        for a in range(0, lv.n_nodes, chunk):
+            frc = fr[a:a + chunk]
+            SIr, Lr, Br, sch_c, ldc, mpc, npcc, phc = step[1](frc, delta)
+            del frc
+            parts_sir.append(jax.device_get(SIr))
+            parts_lr.append(jax.device_get(Lr))
+            parts_br.append(jax.device_get(Br))
+            parts_sch.append(sch_c)
+            ld_d += float(ldc)
+            mp_d = min(mp_d, float(mpc))
+            np_d += int(npcc)
+            ph_d *= float(phc)
+            del SIr, Lr, Br
         del fr
-        # fetch this depth's factors to host and drop the device copies;
-        # device_get also synchronizes, bounding each device call's span
-        store[d] = {"sir": jax.device_get(SIr), "sii": None,
-                    "lr": jax.device_get(Lr), "li": None,
-                    "br": jax.device_get(Br), "bi": None}
-        ld += float(ld_d)
-        mp = min(mp, float(mp_d))
-        npc += int(np_d)
-        ph *= float(ph_d)
-        del SIr, Lr, Br
-        sch_re = new_sch
+        store[d] = {"sir": np.concatenate(parts_sir), "sii": None,
+                    "lr": np.concatenate(parts_lr), "li": None,
+                    "br": np.concatenate(parts_br), "bi": None}
+        del parts_sir, parts_lr, parts_br
+        ld += ld_d
+        mp = min(mp, mp_d)
+        npc += np_d
+        ph *= ph_d
+        sch_re = (parts_sch[0] if len(parts_sch) == 1
+                  else jnp.concatenate(parts_sch, axis=0))
+        del parts_sch
     return {"levels": store, "logdet": jnp.asarray(ld, rdt),
             "phase": jnp.asarray(ph, rdt),
             "min_pivot": jnp.asarray(mp, rdt),
