@@ -123,6 +123,27 @@ def _expand_full_pattern(rows, cols, coo_order_vals, sym: Sym):
     return rows, cols, None
 
 
+def _numeric_symmetry(n, rows, cols, vals) -> bool:
+    """Host check that the assembled values satisfy A == A^T (duplicates
+    summed). A symmetric value set unlocks factor_solve's flexible-CG
+    refinement tier, which converges where restarted FGMRES-IR stalls
+    (laplacian_2d_1000 at n=10^6 with f32 factors). Real matrices only —
+    complex symmetric does not admit CG."""
+    vals = np.asarray(vals)
+    if vals.dtype.kind == "c" or len(vals) > 20_000_000:
+        return False
+    key = np.asarray(rows, np.int64) * n + np.asarray(cols, np.int64)
+    uk, inv = np.unique(key, return_inverse=True)
+    a = np.bincount(inv, weights=vals.astype(np.float64),
+                    minlength=uk.shape[0])
+    tk = (uk % n) * n + uk // n
+    order = np.argsort(tk)
+    if not np.array_equal(tk[order], uk):
+        return False
+    scale = float(np.max(np.abs(a))) or 1.0
+    return bool(np.max(np.abs(a - a[order])) <= 1e-12 * scale)
+
+
 class LinSolver:
     """Native sparse direct solver with the LinSolTrait contract."""
 
@@ -175,6 +196,11 @@ class LinSolver:
                 grid=params.grid,
                 mixed_precision=params.mixed_precision,
             )
+            # triangular symmetric storage mirrors values by construction;
+            # full storage gets the host numeric-symmetry check
+            if self.plan.mixed32:
+                self.plan.symmetric_values = (
+                    sym.is_sym() or _numeric_symmetry(nrow, ii, jj, vv))
             self._structure = structure
             plan = self.plan
             if getattr(plan, "gridmf_ooc", False) or getattr(

@@ -697,3 +697,63 @@ def test_no_escalation_when_mixed_precision_suffices():
                                     mixed_precision=True))
     sol.solve(np.ones(coo.nrow))
     assert "precision_escalated" not in sol.stats.output
+
+
+def test_symmetric_values_detection_and_fcg_tier():
+    # the host symmetry check must recognize a numerically symmetric
+    # full-storage matrix (unlocking the FCG refinement tier) and reject
+    # an unsymmetric one; the detected path must still hit the 1e-10 bar
+    # with f32 factors (the laplacian_2d_1000 regime at test scale)
+    import numpy as np
+    from russell_tpu.sparse import (Genie, LinSolver, LinSolParams,
+                                    VerifyLinSys, samples)
+
+    coo = samples.laplacian_2d(32)
+    sol = LinSolver(Genie.GRIDMF)
+    sol.factorize(coo, LinSolParams(grid=(32, 32, 1),
+                                    mixed_precision=True))
+    assert sol.plan.symmetric_values is True
+    b = np.ones(coo.nrow)
+    x = sol.solve(b)
+    v = VerifyLinSys.from_system(coo, x, b)
+    assert v.relative_error < 1e-10
+    assert "precision_escalated" not in sol.stats.output
+
+    # unsymmetric convection-diffusion: detection must say no, and the
+    # FGMRES tier must still carry the solve to the bar
+    coo_u = samples.conv_diff_2d(24, peclet=0.5) if hasattr(
+        samples, "conv_diff_2d") else None
+    if coo_u is None:
+        ii = np.asarray(coo.indices_i[:coo.nnz]).copy()
+        jj = np.asarray(coo.indices_j[:coo.nnz]).copy()
+        vv = np.asarray(coo.values[:coo.nnz]).astype(np.float64).copy()
+        vv[ii > jj] *= 1.25        # break value symmetry, keep pattern
+        from russell_tpu.sparse import CooMatrix
+        coo_u = CooMatrix.from_arrays(coo.nrow, coo.ncol, ii, jj, vv)
+    sol_u = LinSolver(Genie.GRIDMF)
+    sol_u.factorize(coo_u, LinSolParams(grid=(32, 32, 1),
+                                        mixed_precision=True))
+    assert sol_u.plan.symmetric_values is False
+    x_u = sol_u.solve(b)
+    v_u = VerifyLinSys.from_system(coo_u, x_u, b)
+    assert v_u.relative_error < 1e-10
+
+
+def test_fcg_tier_out_of_core_eager(monkeypatch):
+    # the eager (out-of-core) adaptive branch routes symmetric systems
+    # through the python FCG loop; must match the in-core answer
+    import numpy as np
+    from russell_tpu.sparse import (Genie, LinSolver, LinSolParams,
+                                    VerifyLinSys, samples)
+
+    monkeypatch.setenv("RUSSELL_TPU_GRIDMF_MEM_GB", "1e-9")
+    coo = samples.laplacian_2d(24)
+    sol = LinSolver(Genie.GRIDMF)
+    sol.factorize(coo, LinSolParams(grid=(24, 24, 1),
+                                    mixed_precision=True))
+    assert sol.plan.gridmf_ooc
+    assert sol.plan.symmetric_values is True
+    b = np.sin(np.arange(coo.nrow))
+    x = sol.solve(b)
+    v = VerifyLinSys.from_system(coo, x, b)
+    assert v.relative_error < 1e-10

@@ -38,13 +38,12 @@ CASES = {
     "bfwb62": ("mtx:/root/reference/russell_sparse/data/matrix_market/"
                "bfwb62.mtx", "splu", 600),
     "laplacian_2d_317": ("laplacian_2d:317", "gridmf", 1800),
-    # kappa ~ 4e5: f32 factors cannot reach the 1e-10 bar (LinSolver
-    # would auto-escalate to f64 mid-case, paying BOTH compiles — over
-    # an hour over the remote tunnel); configure f64 factors up front.
-    # GRIDMF is GEMM-only, so f64 works on TPU despite its missing f64
-    # LU/triangular kernels.
-    "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 7200,
-                          {"mixed_precision": False}),
+    # kappa ~ 4e5 at n=10^6: plain IR + restarted FGMRES-IR stalls at
+    # ~3.8e-5 with f32 factors on TPU, but the matrix is numerically
+    # symmetric so LinSolver's flexible-CG refinement tier converges
+    # (3 iterations to max|r|~1e-14 measured on CPU) — f32 factors stay
+    # viable and the >70-min f64 GRIDMF compile is avoided.
+    "laplacian_2d_1000": ("laplacian_2d:1000", "gridmf", 7200),
     # 3-D grid sizes chosen pad-friendly for the ND bisection
     # (63 = 2^4*4-1 exact). GRIDMF factor storage is the O(n^{4/3})
     # multifrontal law: 2.4 GB at 63^3, 6.9 GB at 79^3, 19.7 GB at
