@@ -659,7 +659,12 @@ def genmf_factorize_steps(plan: GenMfPlan, data):
     the fac pytree is interchangeable."""
     data = jnp.asarray(data)
     if jnp.iscomplexobj(data):
-        raise NotImplementedError("stepped genmf is real-only")
+        # complex runs as real/imag Karatsuba planes (same math as
+        # genmf_factorize): jnp.real/imag are DEVICE ops, so no complex
+        # host<->device transfer ever happens (unimplemented on the
+        # attached axon backend in both directions)
+        return _genmf_factorize_steps_planes(plan, jnp.real(data),
+                                             jnp.imag(data))
     rdt = data.dtype
     steps = _step_cache.setdefault(("fact", id(plan), str(rdt)), {})
     uniq = _presum(plan, data)
@@ -709,11 +714,92 @@ def genmf_factorize_steps(plan: GenMfPlan, data):
             "n_perturbed": npc}
 
 
+def _genmf_factorize_steps_planes(plan: GenMfPlan, dre, dim):
+    """Complex stepped numeric phase: per-class jitted steps over
+    real/imag planes (Karatsuba _mm, real-embedding _inv_planes —
+    identical math to the whole-program genmf_factorize complex path,
+    which the attached TPU backend cannot compile as one graph:
+    kSublaneGather fusion abort). VERDICT r3 item 7: gives irregular
+    COMPLEX systems (complex_lin_solver.rs role) a TPU path."""
+    dre = jnp.asarray(dre)
+    dim = jnp.asarray(dim)
+    rdt = dre.dtype
+    steps = _step_cache.setdefault(("factc", id(plan), str(rdt)), {})
+    uniq_re = _presum(plan, dre)
+    uniq_im = _presum(plan, dim)
+    delta = (plan.pivot_epsilon
+             * (1.0 + jnp.max(jnp.hypot(dre, dim)))).astype(rdt)
+
+    store = [None] * len(plan.classes)
+    schur_re: Dict[int, jnp.ndarray] = {}
+    schur_im: Dict[int, jnp.ndarray] = {}
+    ld = jnp.zeros((), rdt)
+    mp = jnp.asarray(jnp.inf, rdt)
+    npc = jnp.zeros((), jnp.int32)
+    for ci, c in enumerate(plan.classes):
+        step = steps.get(ci)
+        if step is None:
+            def make(ci, c):
+                def body(uniq_re, uniq_im, delta, *schur_srcs):
+                    fr = _assemble(c, uniq_re, rdt)
+                    fi = _assemble(c, uniq_im, rdt, ghost=False)
+                    for k, link in enumerate(c.links):
+                        ps = jnp.asarray(link.parent_slot)
+                        # optimization_barrier: see genmf_solve_steps —
+                        # keeps the gathers out of fusions the server
+                        # compiler aborts on (kSublaneGather check)
+                        gr = jax.lax.optimization_barrier(
+                            _gather_schur(link, schur_srcs[2 * k]))
+                        gi = jax.lax.optimization_barrier(
+                            _gather_schur(link, schur_srcs[2 * k + 1]))
+                        fr = fr.at[ps].add(gr)
+                        fi = fi.at[ps].add(gi)
+                    e = c.e
+                    SIr, SIi, ld_d, mp_d, np_d, _ph = _inv_planes(
+                        fr[:, :e, :e], fi[:, :e, :e], delta)
+                    Br, Bi = fr[:, :e, e:], fi[:, :e, e:]
+                    if c.r:
+                        Lr, Li = _mm(fr[:, e:, :e], fi[:, e:, :e],
+                                     SIr, SIi)
+                        Ur, Ui = _mm(Lr, Li, Br, Bi)
+                        sr = fr[:, e:, e:] - Ur
+                        si = fi[:, e:, e:] - Ui
+                    else:
+                        z = jnp.zeros((c.n_nodes, 0, 0), rdt)
+                        Lr = Li = sr = si = z
+                    return (SIr, SIi, Lr, Li, Br, Bi, sr, si,
+                            ld_d, mp_d, np_d)
+                return jax.jit(body)
+            step = steps[ci] = make(ci, c)
+        srcs = []
+        for link in c.links:
+            srcs.extend((schur_re[link.src], schur_im[link.src]))
+        (SIr, SIi, Lr, Li, Br, Bi, sr, si,
+         ld_d, mp_d, np_d) = step(uniq_re, uniq_im, delta, *srcs)
+        if c.r:
+            schur_re[ci] = sr
+            schur_im[ci] = si
+        store[ci] = {"sir": SIr, "sii": SIi,
+                     "lr": Lr if c.r else None,
+                     "li": Li if c.r else None,
+                     "br": Br if c.r else None,
+                     "bi": Bi if c.r else None}
+        ld = ld + ld_d
+        mp = jnp.minimum(mp, mp_d)
+        npc = npc + np_d
+    # real-embedding determinant: |det| only (phase unrecoverable), as
+    # in the whole-program complex path
+    return {"classes": store, "logdet": ld, "phase": jnp.ones((), rdt),
+            "min_pivot": mp, "n_perturbed": npc}
+
+
 def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
     """Host-driven solve: per-class jitted up/down steps (see
-    genmf_factorize_steps). Real-only; numerics identical to
-    genmf_solve."""
+    genmf_factorize_steps). Complex rhs runs as real/imag planes;
+    numerics identical to genmf_solve."""
     first = next(st for st in fac["classes"] if st["sir"] is not None)
+    if first["sii"] is not None:
+        return _genmf_solve_steps_planes(plan, fac, bvec)
     rdt = first["sir"].dtype
     steps = _step_cache.setdefault(("solve", id(plan), str(rdt)), {})
     bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
@@ -802,3 +888,146 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                 tgt = jnp.zeros((src.n_nodes, src.r), rdt)
             xk[link.src] = tgt.at[jnp.asarray(link.child_slot)].set(vals)
     return x[:plan.n]
+
+
+def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
+    """Complex stepped solve over real/imag planes (see
+    _genmf_factorize_steps_planes). ``bvec`` may be a device complex
+    array (split with device ops) or a host numpy complex array (split
+    on host — the axon backend cannot transfer complex either way).
+    Returns a DEVICE complex array built in-trace via lax.complex."""
+    first = next(st for st in fac["classes"] if st["sir"] is not None)
+    rdt = first["sir"].dtype
+    steps = _step_cache.setdefault(("solvec", id(plan), str(rdt)), {})
+    if isinstance(bvec, np.ndarray) and np.iscomplexobj(bvec):
+        b_re = jnp.asarray(np.ascontiguousarray(bvec.real))
+        b_im = jnp.asarray(np.ascontiguousarray(bvec.imag))
+    else:
+        bvec = jnp.asarray(bvec)
+        b_re, b_im = jnp.real(bvec), jnp.imag(bvec)
+    bp_re = jnp.concatenate([b_re.astype(rdt), jnp.zeros(1, rdt)])
+    bp_im = jnp.concatenate([b_im.astype(rdt), jnp.zeros(1, rdt)])
+
+    fe_st = [None] * len(plan.classes)
+    fk_re: Dict[int, jnp.ndarray] = {}
+    fk_im: Dict[int, jnp.ndarray] = {}
+    for ci, c in enumerate(plan.classes):
+        key = ("up", ci)
+        step = steps.get(key)
+        if step is None:
+            def make_up(ci, c):
+                def body(bp_re, bp_im, lr, li, *fk_srcs):
+                    fr = jnp.zeros((c.n_nodes, c.F), rdt)
+                    fi = jnp.zeros((c.n_nodes, c.F), rdt)
+                    for k, link in enumerate(c.links):
+                        ps = jnp.asarray(link.parent_slot)
+                        gr = jax.lax.optimization_barrier(
+                            _gather_vec(link, fk_srcs[2 * k]))
+                        gi = jax.lax.optimization_barrier(
+                            _gather_vec(link, fk_srcs[2 * k + 1]))
+                        fr = fr.at[ps].add(gr)
+                        fi = fi.at[ps].add(gi)
+                    e = c.e
+                    ev_flat = jnp.asarray(c.elim_var.reshape(-1))
+                    gbr = jax.lax.optimization_barrier(
+                        bp_re[ev_flat].reshape(c.n_nodes, e))
+                    gbi = jax.lax.optimization_barrier(
+                        bp_im[ev_flat].reshape(c.n_nodes, e))
+                    fr = fr.at[:, :e].add(gbr)
+                    fi = fi.at[:, :e].add(gbi)
+                    fer, fei = fr[:, :e], fi[:, :e]
+                    if c.r:
+                        ur, ui = _mm(lr, li, fer[:, :, None],
+                                     fei[:, :, None])
+                        return (fer, fei, fr[:, e:] - ur[:, :, 0],
+                                fi[:, e:] - ui[:, :, 0])
+                    z = jnp.zeros((c.n_nodes, 0), rdt)
+                    return fer, fei, z, z
+                return jax.jit(body)
+            step = steps[key] = make_up(ci, c)
+        srcs = []
+        for link in c.links:
+            srcs.extend((fk_re[link.src], fk_im[link.src]))
+        st = fac["classes"][ci]
+        fer, fei, fkr, fki = step(bp_re, bp_im, st["lr"], st["li"], *srcs)
+        fe_st[ci] = (fer, fei)
+        if c.r:
+            fk_re[ci] = fkr
+            fk_im[ci] = fki
+
+    x_re = jnp.zeros(plan.n + 1, rdt)
+    x_im = jnp.zeros(plan.n + 1, rdt)
+    xk_re: Dict[int, jnp.ndarray] = {}
+    xk_im: Dict[int, jnp.ndarray] = {}
+    for ci in range(len(plan.classes) - 1, -1, -1):
+        c = plan.classes[ci]
+        key = ("down", ci)
+        step = steps.get(key)
+        if step is None:
+            def make_down(ci, c):
+                def body(x_re, x_im, fer, fei, xkr, xki, sir, sii,
+                         br, bi):
+                    if c.r:
+                        br_, bi_ = _mm(br, bi, xkr[:, :, None],
+                                       xki[:, :, None])
+                        rr = fer - br_[:, :, 0]
+                        ri = fei - bi_[:, :, 0]
+                    else:
+                        rr, ri = fer, fei
+                    xer, xei = _mm(sir, sii, rr[:, :, None],
+                                   ri[:, :, None])
+                    xer, xei = xer[:, :, 0], xei[:, :, 0]
+                    ev = jnp.asarray(c.elim_var)
+                    x_re = x_re.at[ev.reshape(-1)].set(
+                        xer.reshape(-1), mode="drop")
+                    x_im = x_im.at[ev.reshape(-1)].set(
+                        xei.reshape(-1), mode="drop")
+                    if c.links:
+                        xfr = jnp.pad(jnp.concatenate([xer, xkr], axis=1),
+                                      ((0, 0), (0, 1)))
+                        xfi = jnp.pad(jnp.concatenate([xei, xki], axis=1),
+                                      ((0, 0), (0, 1)))
+                        F1 = xfr.shape[-1]
+                        xfr_flat = xfr.reshape(-1)
+                        xfi_flat = xfi.reshape(-1)
+                        outs = []
+                        for link in c.links:
+                            m_l, r_l = link.fwd.shape
+                            flat_idx = jnp.asarray(
+                                (link.parent_slot[:, None] * F1
+                                 + link.fwd).reshape(-1))
+                            outs.append(jax.lax.optimization_barrier(
+                                xfr_flat[flat_idx].reshape(m_l, r_l)))
+                            outs.append(jax.lax.optimization_barrier(
+                                xfi_flat[flat_idx].reshape(m_l, r_l)))
+                        return (x_re, x_im, *outs)
+                    return (x_re, x_im)
+                return jax.jit(body, donate_argnums=(0, 1))
+            step = steps[key] = make_down(ci, c)
+        xkr = xk_re.pop(ci, None)
+        if xkr is None:
+            xkr = jnp.zeros((c.n_nodes, c.r), rdt)
+            xki = jnp.zeros((c.n_nodes, c.r), rdt)
+        else:
+            xki = xk_im.pop(ci)
+        st = fac["classes"][ci]
+        fer, fei = fe_st[ci]
+        out = step(x_re, x_im, fer, fei, xkr, xki, st["sir"], st["sii"],
+                   st["br"], st["bi"])
+        x_re, x_im = out[0], out[1]
+        rest = out[2:]
+        for k, link in enumerate(c.links):
+            src = plan.classes[link.src]
+            cs = jnp.asarray(link.child_slot)
+            tr = xk_re.get(link.src)
+            ti = xk_im.get(link.src)
+            if tr is None:
+                tr = jnp.zeros((src.n_nodes, src.r), rdt)
+                ti = jnp.zeros((src.n_nodes, src.r), rdt)
+            xk_re[link.src] = tr.at[cs].set(rest[2 * k])
+            xk_im[link.src] = ti.at[cs].set(rest[2 * k + 1])
+    combine = _step_cache.get("combine")
+    if combine is None:
+        combine = _step_cache["combine"] = jax.jit(
+            lambda r, i: jax.lax.complex(r, i))
+    return combine(x_re[:plan.n], x_im[:plan.n])

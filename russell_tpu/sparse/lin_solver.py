@@ -231,13 +231,43 @@ class LinSolver:
             raise ValueError("subsequent factorizations must use the same structure")
 
         t1 = time.perf_counter_ns()
-        vals = jnp.asarray(vv)
-        if self._mirror is not None:
-            vals = jnp.concatenate([vals, vals[jnp.asarray(self._mirror)]])
+        plan = self.plan
+        iscplx = np.dtype(getattr(vv, "dtype",
+                                  np.asarray(vv).dtype)).kind == "c"
+        vv_np = None
+        if iscplx and plan.mixed32:
+            # complex under mixed precision: build the c64 values from
+            # f32 planes on device — a complex128 device array cannot
+            # exist on the TPU backend (no c128 dtype, no complex
+            # transfers), and the kernels run c64 anyway
+            vv_np = np.asarray(vv)
+            if self._mirror is not None:
+                vv_np = np.concatenate(
+                    [vv_np, vv_np[np.asarray(self._mirror)]])
+            vals = jax.lax.complex(
+                jnp.asarray(vv_np.real.astype(np.float32)),
+                jnp.asarray(vv_np.imag.astype(np.float32)))
+        else:
+            vals = _factor.as_device(vv)
+            if self._mirror is not None:
+                vals = jnp.concatenate([vals,
+                                        vals[jnp.asarray(self._mirror)]])
         self._params = params
         self._vals_full = vals      # unscaled full-pattern values
         self.fac = self._fact_fn(vals)
         self.fac["logdet"].block_until_ready()
+        if (vv_np is not None and vv_np.dtype == np.complex128
+                and "rs" in self.fac and "sdata_re64" not in self.fac):
+            # stash the f64 scaled-matrix planes for solve_planes
+            # (factor_solve_planes): eager real-f64 ops, TPU-safe
+            rows = jnp.asarray(plan.rows)
+            cols = jnp.asarray(plan.cols)
+            s = (self.fac["rs"].real.astype(jnp.float64)[rows]
+                 * self.fac["cs"].real.astype(jnp.float64)[cols])
+            self.fac["sdata_re64"] = jnp.asarray(
+                np.ascontiguousarray(vv_np.real)) * s
+            self.fac["sdata_im64"] = jnp.asarray(
+                np.ascontiguousarray(vv_np.imag)) * s
         self._factorized = True
         mp = float(self.fac["min_pivot"])
         self.stats.output["min_pivot"] = mp
@@ -295,7 +325,7 @@ class LinSolver:
         if not self._factorized:
             raise RuntimeError("factorize must be called before solve")
         t0 = time.perf_counter_ns()
-        rhs = jnp.asarray(rhs)
+        rhs = _factor.as_device(rhs)  # ships complex as planes (axon)
         x = self._solve_fn(self.fac, rhs)
         x.block_until_ready()
         if (getattr(self.plan, "mixed32", False)
@@ -313,6 +343,26 @@ class LinSolver:
                               or p.compute_condition_numbers):
             self._error_analysis(x, rhs, p.compute_condition_numbers)
         return x
+
+    def solve_planes(self, b_re, b_im):
+        """f64-accurate complex solve as (re, im) f64 plane pairs.
+
+        The TPU backend has no complex128 dtype, so ``solve`` on complex
+        systems under mixed precision floors at ~100 eps_c64. This
+        method refines in f64 PLANES (real f64 ops run fine on TPU)
+        against the stashed f64 scaled-matrix planes and returns
+        ``(x_re, x_im)`` — combine with ``x_re + 1j*x_im`` on host.
+        Requires a prior ``factorize`` of complex128 values under mixed
+        precision."""
+        if not self._factorized:
+            raise RuntimeError("factorize must be called before solve")
+        t0 = time.perf_counter_ns()
+        xr, xi = _factor.factor_solve_planes(self.plan, self.fac,
+                                             np.asarray(b_re),
+                                             np.asarray(b_im))
+        xr.block_until_ready()
+        self.stats.time_nanoseconds["solve"] = time.perf_counter_ns() - t0
+        return xr, xi
 
     def _backward_error(self, x, b) -> float:
         """Componentwise (Arioli-Demmel-Duff omega_1) backward error of

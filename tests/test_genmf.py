@@ -200,3 +200,82 @@ def test_genmf_stepped_drivers_match_single_program():
     x2 = np.asarray(genmf_solve_steps(plan, fac2, b))
     assert np.max(np.abs(x1 - x2)) < 1e-12 * max(1.0, np.max(np.abs(x1)))
     assert abs(float(fac1["logdet"]) - float(fac2["logdet"])) < 1e-9
+
+
+def test_genmf_stepped_complex_matches_single_program():
+    # complex stepped path (real/imag Karatsuba planes per class; VERDICT
+    # r3 item 7 — irregular complex systems need a TPU-compilable route):
+    # must reproduce the whole-program complex factorize/solve
+    n = 500
+    ii, jj, vals = _irregular_coo(n, 11)
+    rng = np.random.default_rng(13)
+    valc = vals + 0.4j * rng.normal(size=len(vals))
+    plan = genmf_analyze(n, ii, jj, leaf_target=32)
+    from russell_tpu.sparse.genmf import (genmf_factorize_steps,
+                                          genmf_solve_steps)
+    v = jnp.asarray(valc)
+    b = jnp.asarray(np.cos(np.arange(n)) + 0.25j * np.sin(np.arange(n)))
+    fac1 = genmf_factorize(plan, v)
+    x1 = np.asarray(genmf_solve(plan, fac1, b))
+    fac2 = genmf_factorize_steps(plan, v)
+    assert fac2["classes"][0]["sii"] is not None or any(
+        st["sii"] is not None for st in fac2["classes"] if st["sir"]
+        is not None)
+    x2 = np.asarray(genmf_solve_steps(plan, fac2, b))
+    assert np.max(np.abs(x1 - x2)) < 1e-10 * max(1.0, np.max(np.abs(x1)))
+    assert abs(float(fac1["logdet"]) - float(fac2["logdet"])) < 1e-7
+    # oracle check against the dense solve
+    A = np.zeros((n, n), complex)
+    A[ii, jj] = valc
+    x_ref = np.linalg.solve(A, np.asarray(b))
+    assert np.max(np.abs(x2 - x_ref)) < 1e-9 * max(1.0,
+                                                   np.max(np.abs(x_ref)))
+
+
+def test_genmf_stepped_complex_eager_dispatch_with_host_rhs():
+    # the exact on-chip dispatch: genmf_steps plan, eager
+    # numeric_factorize/factor_solve, HOST numpy complex data and rhs
+    # (the axon transfer workaround ships real/imag planes and rebuilds
+    # the complex arrays in-trace); mixed precision (c64 factors) plus
+    # adaptive refinement must still meet the input-precision bar
+    n = 600
+    ii, jj, vals = _irregular_coo(n, 17)
+    rng = np.random.default_rng(19)
+    valc = (vals + 0.2j * rng.normal(size=len(vals))).astype(np.complex128)
+    plan = _factor.analyze(n, ii, jj, genie=Genie.GENMF,
+                           mixed_precision=True)
+    plan.genmf_steps = True    # forced (CPU backend defaults to False)
+    fac = _factor.numeric_factorize(plan, valc)
+    b = (np.ones(n) + 0.5j * np.linspace(0.0, 1.0, n)).astype(np.complex128)
+    x = np.asarray(_factor.factor_solve(plan, fac, b))
+    A = np.zeros((n, n), complex)
+    A[ii, jj] = valc
+    resid = np.max(np.abs(A @ x - b))
+    # complex mixed precision refines at c64 (the TPU backend has no
+    # complex128 at all), so the achievable floor is O(100 eps_c64)
+    # componentwise — measured 2e-8 relative here. Full 1e-10-bar
+    # complex accuracy needs mixed_precision=False (c128 factors, CPU)
+    assert resid < 1e-7 * np.max(np.abs(A))
+
+
+def test_genmf_complex_plane_solve_f64_accuracy():
+    # factor_solve_planes: f64-plane refinement over the c64 stepped
+    # factorization must reach f64-class accuracy — the TPU-native
+    # answer to "no complex128 dtype on the backend"
+    from russell_tpu.sparse import CooMatrix, LinSolver, LinSolParams
+    n = 500
+    ii, jj, vals = _irregular_coo(n, 23)
+    rng = np.random.default_rng(29)
+    valc = (vals + 0.3j * rng.normal(size=len(vals))).astype(np.complex128)
+    coo = CooMatrix.from_arrays(n, n, ii, jj, valc)
+    solver = LinSolver(Genie.GENMF)
+    solver.factorize(coo, LinSolParams(mixed_precision=True))
+    b = (np.cos(np.arange(n)) + 0.5j * np.sin(np.arange(n)))
+    xr, xi = solver.solve_planes(b.real, b.imag)
+    x = np.asarray(xr) + 1j * np.asarray(xi)
+    A = np.zeros((n, n), complex)
+    A[ii, jj] = valc
+    resid = np.max(np.abs(A @ x - b))
+    # c64 API floor is ~2e-8 relative (see the eager-dispatch test);
+    # plane refinement must beat it by >= 4 decades
+    assert resid < 1e-12 * np.max(np.abs(A))

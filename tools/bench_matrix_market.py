@@ -36,7 +36,7 @@ import numpy as np
 # the nested-dissection multifrontal path is the production choice there
 CASES = {
     "bfwb62": ("mtx:/root/reference/russell_sparse/data/matrix_market/"
-               "bfwb62.mtx", "splu", 600),
+               "bfwb62.mtx", "splu", 1200),
     "laplacian_2d_317": ("laplacian_2d:317", "gridmf", 1800),
     # kappa ~ 4e5 at n=10^6: plain IR + restarted FGMRES-IR stalls at
     # ~3.8e-5 with f32 factors on TPU, but the matrix is numerically
@@ -56,6 +56,12 @@ CASES = {
     # out-of-core: factors (19.7 GB/plane) stream to host RAM; solves
     # re-ship per level over the remote tunnel -> generous timeout
     "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 10800),
+    # pres-cylin class (VERDICT r3 item 5): n = 120^3 = 1,728,000 rows,
+    # 3-D symmetric — the scale of the reference's largest artifact
+    # (pres-cylin-3d-tet10-fine, n=1,711,464, MUMPS factorize 81.6 s,
+    # russell_sparse/data/logs/pres-cylin-3d-tet10-fine_MUMPS.json).
+    # GRIDMF factor store ~39 GB/plane f32 -> out-of-core streaming
+    "laplacian_3d_120": ("laplacian_3d:120", "gridmf", 14400),
     "conv_diff_3d_63": ("laplacian_3d:63:0.5", "gridmf", 3600),
     # Raj1-class irregular (circuit/FEM stand-in, n=263743 like Raj1):
     # random-geometric graph, no grid hint — the GENMF general-matrix
@@ -189,14 +195,25 @@ def main() -> int:
         if args.only and name not in args.only:
             continue
         t0 = time.time()
+        # per-case console log: a failed case must leave its traceback
+        # behind (round-3 summary had bare "exit 1" entries with no
+        # diagnostics anywhere)
+        log_path = os.path.join(LOGS, f"{name}_run.log")
         try:
-            r = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--case", name],
-                timeout=tmo, cwd=ROOT)
+            with open(log_path, "w") as lg:
+                r = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--case", name],
+                    timeout=tmo, cwd=ROOT, stdout=lg,
+                    stderr=subprocess.STDOUT)
             code = r.returncode
         except subprocess.TimeoutExpired:
             code = -1
         wall = time.time() - t0
+        with open(log_path) as lg:
+            tail = lg.read()[-2000:]
+        if tail:
+            print(tail, flush=True)
         if code == 0:
             with open(os.path.join(
                     LOGS, f"{name}_{_genie.upper()}.json")) as fh:
@@ -208,6 +225,10 @@ def main() -> int:
                 "relative_error": rec["verify"]["relative_error"],
                 "factorize_s": rec["time_nanoseconds"]["factorize"] / 1e9,
                 "solve_s": rec["time_nanoseconds"]["solve"] / 1e9,
+                "factorize_warm_s": rec["time_nanoseconds"].get(
+                    "factorize_warm", 0) / 1e9,
+                "solve_warm_s": rec["time_nanoseconds"].get(
+                    "solve_warm", 0) / 1e9,
                 "wall_s": wall,
             }
         else:
