@@ -653,10 +653,33 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
 _step_cache: Dict = {}
 
 
+def _depth_groups(plan: GenMfPlan, order=None):
+    """Consecutive runs of equal-depth classes in processing order.
+
+    Classes within one tree depth never link to each other (child ->
+    parent links strictly cross depths), so a whole depth can run as
+    ONE jitted step: at geometric_264k's 453 classes the per-class
+    dispatch over the remote tunnel dominated wall time (warm
+    factorize 3.3 s / solve 63.9 s measured 2026-08-20 — ~8 ms per
+    dispatch x thousands of dispatches across refinement rounds);
+    grouping cuts the dispatch count to the tree depth (~25)."""
+    idx = list(range(len(plan.classes))) if order is None else list(order)
+    groups = []
+    cur = []
+    for ci in idx:
+        if cur and plan.classes[cur[0]].depth != plan.classes[ci].depth:
+            groups.append(cur)
+            cur = []
+        cur.append(ci)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 def genmf_factorize_steps(plan: GenMfPlan, data):
-    """Host-driven numeric phase: one cached jitted step per class.
-    Numerics identical to ``genmf_factorize`` (same ops, same order);
-    the fac pytree is interchangeable."""
+    """Host-driven numeric phase: one cached jitted step per tree DEPTH
+    (see _depth_groups). Numerics identical to ``genmf_factorize``
+    (same ops, same order); the fac pytree is interchangeable."""
     data = jnp.asarray(data)
     if jnp.iscomplexobj(data):
         # complex runs as real/imag Karatsuba planes (same math as
@@ -666,7 +689,7 @@ def genmf_factorize_steps(plan: GenMfPlan, data):
         return _genmf_factorize_steps_planes(plan, jnp.real(data),
                                              jnp.imag(data))
     rdt = data.dtype
-    steps = _step_cache.setdefault(("fact", id(plan), str(rdt)), {})
+    steps = _step_cache.setdefault(("factg", id(plan), str(rdt)), {})
     uniq = _presum(plan, data)
     delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(rdt)
 
@@ -676,40 +699,64 @@ def genmf_factorize_steps(plan: GenMfPlan, data):
     mp = jnp.asarray(jnp.inf, rdt)
     npc = jnp.zeros((), jnp.int32)
     ph = jnp.ones((), rdt)
-    for ci, c in enumerate(plan.classes):
-        step = steps.get(ci)
+    for gi, group in enumerate(_depth_groups(plan)):
+        step = steps.get(gi)
         if step is None:
-            def make(ci, c):
+            def make(group):
                 def body(uniq, delta, *schur_srcs):
-                    fr = _assemble(c, uniq, rdt)
-                    for link, S in zip(c.links, schur_srcs):
-                        fr = fr.at[jnp.asarray(link.parent_slot)].add(
-                            _gather_schur(link, S))
-                    e = c.e
-                    SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
-                        fr[:, :e, :e], None, delta)
-                    Br = fr[:, :e, e:]
-                    if c.r:
-                        Lr, _ = _mm(fr[:, e:, :e], None, SIr, None)
-                        Ur, _ = _mm(Lr, None, Br, None)
-                        new_sch = fr[:, e:, e:] - Ur
-                    else:
-                        Lr = new_sch = jnp.zeros((c.n_nodes, 0, 0), rdt)
-                    return SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d
+                    outs = []
+                    ofs = 0
+                    g_ld = jnp.zeros((), rdt)
+                    g_mp = jnp.asarray(jnp.inf, rdt)
+                    g_np = jnp.zeros((), jnp.int32)
+                    g_ph = jnp.ones((), rdt)
+                    for ci in group:
+                        c = plan.classes[ci]
+                        fr = _assemble(c, uniq, rdt)
+                        for link in c.links:
+                            # optimization_barrier: keeps the gathers
+                            # out of fusions the server compiler aborts
+                            # on (kSublaneGather check)
+                            g = jax.lax.optimization_barrier(
+                                _gather_schur(link, schur_srcs[ofs]))
+                            ofs += 1
+                            fr = fr.at[jnp.asarray(
+                                link.parent_slot)].add(g)
+                        e = c.e
+                        SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
+                            fr[:, :e, :e], None, delta)
+                        Br = fr[:, :e, e:]
+                        if c.r:
+                            Lr, _ = _mm(fr[:, e:, :e], None, SIr, None)
+                            Ur, _ = _mm(Lr, None, Br, None)
+                            new_sch = fr[:, e:, e:] - Ur
+                        else:
+                            Lr = new_sch = jnp.zeros((c.n_nodes, 0, 0),
+                                                     rdt)
+                        outs.extend((SIr, Lr, Br, new_sch))
+                        g_ld = g_ld + ld_d
+                        g_mp = jnp.minimum(g_mp, mp_d)
+                        g_np = g_np + np_d
+                        g_ph = g_ph * ph_d.astype(rdt)
+                    return (*outs, g_ld, g_mp, g_np, g_ph)
                 return jax.jit(body)
-            step = steps[ci] = make(ci, c)
-        srcs = [schur[link.src] for link in c.links]
-        SIr, Lr, Br, new_sch, ld_d, mp_d, np_d, ph_d = step(
-            uniq, delta, *srcs)
-        if c.r:
-            schur[ci] = new_sch
-        store[ci] = {"sir": SIr, "sii": None,
-                     "lr": Lr if c.r else None, "li": None,
-                     "br": Br if c.r else None, "bi": None}
-        ld = ld + ld_d
-        mp = jnp.minimum(mp, mp_d)
-        npc = npc + np_d
-        ph = ph * ph_d.astype(rdt)
+            step = steps[gi] = make(group)
+        srcs = [schur[link.src] for ci in group
+                for link in plan.classes[ci].links]
+        outs = step(uniq, delta, *srcs)
+        for k, ci in enumerate(group):
+            c = plan.classes[ci]
+            SIr, Lr, Br, new_sch = outs[4 * k:4 * k + 4]
+            if c.r:
+                schur[ci] = new_sch
+            store[ci] = {"sir": SIr, "sii": None,
+                         "lr": Lr if c.r else None, "li": None,
+                         "br": Br if c.r else None, "bi": None}
+        g_ld, g_mp, g_np, g_ph = outs[4 * len(group):]
+        ld = ld + g_ld
+        mp = jnp.minimum(mp, g_mp)
+        npc = npc + g_np
+        ph = ph * g_ph
     return {"classes": store, "logdet": ld, "phase": ph, "min_pivot": mp,
             "n_perturbed": npc}
 
@@ -801,92 +848,122 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
     if first["sii"] is not None:
         return _genmf_solve_steps_planes(plan, fac, bvec)
     rdt = first["sir"].dtype
-    steps = _step_cache.setdefault(("solve", id(plan), str(rdt)), {})
+    steps = _step_cache.setdefault(("solveg", id(plan), str(rdt)), {})
     bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
                           jnp.zeros(1, rdt)])
 
     fe_st = [None] * len(plan.classes)
     fk: Dict[int, jnp.ndarray] = {}
-    for ci, c in enumerate(plan.classes):
-        key = ("up", ci)
+    for gi, group in enumerate(_depth_groups(plan)):
+        key = ("up", gi)
         step = steps.get(key)
         if step is None:
-            def make_up(ci, c):
-                def body(bp, lr, *fk_srcs):
-                    fr = jnp.zeros((c.n_nodes, c.F), rdt)
-                    for link, v in zip(c.links, fk_srcs):
-                        # optimization_barrier: fusing these gathers
-                        # into the scatter/slice consumers aborts the
-                        # server compiler (kSublaneGather check)
-                        g = jax.lax.optimization_barrier(
-                            _gather_vec(link, v))
-                        fr = fr.at[jnp.asarray(link.parent_slot)].add(g)
-                    e = c.e
-                    ev_flat = jnp.asarray(c.elim_var.reshape(-1))
-                    gb = jax.lax.optimization_barrier(
-                        bp[ev_flat].reshape(c.n_nodes, e))
-                    fr = fr.at[:, :e].add(gb)
-                    fer = fr[:, :e]
-                    if c.r:
-                        ur, _ = _mm(lr, None, fer[:, :, None], None)
-                        return fer, fr[:, e:] - ur[:, :, 0]
-                    return fer, jnp.zeros((c.n_nodes, 0), rdt)
+            def make_up(group):
+                def body(bp, *args):
+                    # args = [lr per class] + [fk srcs in group order]
+                    nl = len(group)
+                    lrs = args[:nl]
+                    srcs = args[nl:]
+                    ofs = 0
+                    outs = []
+                    for k, ci in enumerate(group):
+                        c = plan.classes[ci]
+                        fr = jnp.zeros((c.n_nodes, c.F), rdt)
+                        for link in c.links:
+                            # optimization_barrier: fusing these gathers
+                            # into scatter/slice consumers aborts the
+                            # server compiler (kSublaneGather check)
+                            g = jax.lax.optimization_barrier(
+                                _gather_vec(link, srcs[ofs]))
+                            ofs += 1
+                            fr = fr.at[jnp.asarray(
+                                link.parent_slot)].add(g)
+                        e = c.e
+                        ev_flat = jnp.asarray(c.elim_var.reshape(-1))
+                        gb = jax.lax.optimization_barrier(
+                            bp[ev_flat].reshape(c.n_nodes, e))
+                        fr = fr.at[:, :e].add(gb)
+                        fer = fr[:, :e]
+                        if c.r:
+                            ur, _ = _mm(lrs[k], None, fer[:, :, None],
+                                        None)
+                            outs.extend((fer, fr[:, e:] - ur[:, :, 0]))
+                        else:
+                            outs.extend((fer,
+                                         jnp.zeros((c.n_nodes, 0), rdt)))
+                    return tuple(outs)
                 return jax.jit(body)
-            step = steps[key] = make_up(ci, c)
-        srcs = [fk[link.src] for link in c.links]
-        fer, fkv = step(bp, fac["classes"][ci]["lr"], *srcs)
-        fe_st[ci] = fer
-        if c.r:
-            fk[ci] = fkv
+            step = steps[key] = make_up(group)
+        args = [fac["classes"][ci]["lr"] for ci in group]
+        args += [fk[link.src] for ci in group
+                 for link in plan.classes[ci].links]
+        outs = step(bp, *args)
+        for k, ci in enumerate(group):
+            fe_st[ci] = outs[2 * k]
+            if plan.classes[ci].r:
+                fk[ci] = outs[2 * k + 1]
 
     x = jnp.zeros(plan.n + 1, rdt)
     xk: Dict[int, jnp.ndarray] = {}
-    for ci in range(len(plan.classes) - 1, -1, -1):
-        c = plan.classes[ci]
-        key = ("down", ci)
+    rev = range(len(plan.classes) - 1, -1, -1)
+    for gi, group in enumerate(_depth_groups(plan, order=rev)):
+        key = ("down", gi)
         step = steps.get(key)
         if step is None:
-            def make_down(ci, c):
-                def body(x, fer, xkr, sir, br):
-                    if c.r:
-                        br_, _ = _mm(br, None, xkr[:, :, None], None)
-                        rr = fer - br_[:, :, 0]
-                    else:
-                        rr = fer
-                    xer, _ = _mm(sir, None, rr[:, :, None], None)
-                    xer = xer[:, :, 0]
-                    ev = jnp.asarray(c.elim_var)
-                    x = x.at[ev.reshape(-1)].set(xer.reshape(-1),
-                                                 mode="drop")
-                    if c.links:
-                        xf = jnp.pad(jnp.concatenate([xer, xkr], axis=1),
-                                     ((0, 0), (0, 1)))
-                        xf_flat = xf.reshape(-1)
-                        outs = []
-                        F1 = xf.shape[-1]
-                        for link in c.links:
-                            m_l, r_l = link.fwd.shape
-                            flat_idx = jnp.asarray(
-                                (link.parent_slot[:, None] * F1
-                                 + link.fwd).reshape(-1))
-                            outs.append(
-                                xf_flat[flat_idx].reshape(m_l, r_l))
-                        return (x, *outs)
-                    return (x,)
+            def make_down(group):
+                def body(x, *args):
+                    # args = per class (fer, xkr, sir, br)
+                    outs = []
+                    for k, ci in enumerate(group):
+                        c = plan.classes[ci]
+                        fer, xkr, sir, br = args[4 * k:4 * k + 4]
+                        if c.r:
+                            br_, _ = _mm(br, None, xkr[:, :, None], None)
+                            rr = fer - br_[:, :, 0]
+                        else:
+                            rr = fer
+                        xer, _ = _mm(sir, None, rr[:, :, None], None)
+                        xer = xer[:, :, 0]
+                        ev = jnp.asarray(c.elim_var)
+                        x = x.at[ev.reshape(-1)].set(xer.reshape(-1),
+                                                     mode="drop")
+                        if c.links:
+                            xf = jnp.pad(
+                                jnp.concatenate([xer, xkr], axis=1),
+                                ((0, 0), (0, 1)))
+                            xf_flat = xf.reshape(-1)
+                            F1 = xf.shape[-1]
+                            for link in c.links:
+                                m_l, r_l = link.fwd.shape
+                                flat_idx = jnp.asarray(
+                                    (link.parent_slot[:, None] * F1
+                                     + link.fwd).reshape(-1))
+                                outs.append(jax.lax.optimization_barrier(
+                                    xf_flat[flat_idx].reshape(m_l, r_l)))
+                    return (x, *outs)
                 return jax.jit(body, donate_argnums=(0,))
-            step = steps[key] = make_down(ci, c)
-        xkr = xk.pop(ci, None)
-        if xkr is None:
-            xkr = jnp.zeros((c.n_nodes, c.r), rdt)
-        out = step(x, fe_st[ci], xkr, fac["classes"][ci]["sir"],
-                   fac["classes"][ci]["br"])
+            step = steps[key] = make_down(group)
+        args = []
+        for ci in group:
+            c = plan.classes[ci]
+            xkr = xk.pop(ci, None)
+            if xkr is None:
+                xkr = jnp.zeros((c.n_nodes, c.r), rdt)
+            args.extend((fe_st[ci], xkr, fac["classes"][ci]["sir"],
+                         fac["classes"][ci]["br"]))
+        out = step(x, *args)
         x = out[0]
-        for link, vals in zip(c.links, out[1:]):
-            src = plan.classes[link.src]
-            tgt = xk.get(link.src)
-            if tgt is None:
-                tgt = jnp.zeros((src.n_nodes, src.r), rdt)
-            xk[link.src] = tgt.at[jnp.asarray(link.child_slot)].set(vals)
+        rest = out[1:]
+        ofs = 0
+        for ci in group:
+            for link in plan.classes[ci].links:
+                src = plan.classes[link.src]
+                tgt = xk.get(link.src)
+                if tgt is None:
+                    tgt = jnp.zeros((src.n_nodes, src.r), rdt)
+                xk[link.src] = tgt.at[jnp.asarray(
+                    link.child_slot)].set(rest[ofs])
+                ofs += 1
     return x[:plan.n]
 
 
