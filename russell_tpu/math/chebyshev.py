@@ -79,10 +79,15 @@ def chebyshev_un_deriv1(n: int, x):
 
 
 def chebyshev_un_deriv2(n: int, x):
+    """d²Un/dx² via the ODE (1-x²) Un'' = 3x Un' - n(n+2) Un.
+
+    Round-4 fix: the denominator was (x²-1), negating the result
+    everywhere (caught by the jax.grad cross-check in
+    tests/test_coverage_gaps.py: U2''(-0.9) returned -8, exact is 8)."""
     x = _f(x)
     if n < 2:
         return jnp.zeros_like(x)
-    den = x * x - 1.0
+    den = 1.0 - x * x
     safe = jnp.abs(den) > 1e-10
     d1 = chebyshev_un_deriv1(n, x)
     core = (3.0 * x * d1 - n * (n + 2.0) * chebyshev_un(n, x)) \
