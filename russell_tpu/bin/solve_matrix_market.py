@@ -110,9 +110,15 @@ def main(argv=None) -> int:
     if _os.environ.get("JAX_PLATFORMS"):
         # the env var wins even where sitecustomize pinned a platform list
         jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
-    _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() != "cpu":
+        # persistent cache for the minutes-long remote TPU compiles; OFF
+        # on CPU (fast compiles, and cache writes of multi-device CPU
+        # executables have segfaulted when tests run the CLIs in-process)
+        _os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
     if args.x64:
         # f64 end-to-end; on TPU the LU blocks run in f32 with f64
         # iterative refinement (mixed precision, factor.py)

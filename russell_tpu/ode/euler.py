@@ -74,6 +74,11 @@ class EulerBackward:
                 refine_steps=lsp.refinement_nstep,
                 dense_threshold=lsp.dense_threshold,
                 max_block=lsp.max_block)))
+        if self.plan.mixed32:
+            # Newton self-corrects: single-pass TPU matmuls suffice
+            # (see the same override in radau5.py)
+            self.plan.matmul_precision = "default"
+            self.plan.solve_matmul_precision = "default"
         plan = self.plan
         jac_fn = self._jac_fn
         f = system.function

@@ -664,10 +664,19 @@ def _depth_groups(plan: GenMfPlan, order=None):
     dispatch x thousands of dispatches across refinement rounds);
     grouping cuts the dispatch count to the tree depth (~25)."""
     idx = list(range(len(plan.classes))) if order is None else list(order)
+    # cap the classes per jitted step: an UNCAPPED depth group (200+
+    # class bodies in one program at geometric_264k) crashes the remote
+    # server compiler ("response body closed before all bytes were
+    # read", observed 2026-08-20) — the same large-program fragility as
+    # the whole-program kSublaneGather abort. 16 keeps programs small
+    # while still cutting dispatches ~13x.
+    import os as _os
+    cap = int(_os.environ.get("RUSSELL_TPU_GENMF_GROUP", "16"))
     groups = []
     cur = []
     for ci in idx:
-        if cur and plan.classes[cur[0]].depth != plan.classes[ci].depth:
+        if cur and (plan.classes[cur[0]].depth != plan.classes[ci].depth
+                    or len(cur) >= cap):
             groups.append(cur)
             cur = []
         cur.append(ci)

@@ -284,8 +284,10 @@ class LinSolver:
         # det = phase * exp(logdet) -> (mantissa, 10, exponent); note the
         # scaled matrix determinant must be unscaled: det(A) = det(As)/(prod rs cs)
         logdet = float(self.fac["logdet"])
-        from russell_tpu.core import fetch_host
-        phase = complex(fetch_host(self.fac["phase"]))
+        # full complex phase (MUMPS ICNTL(33) contract): recovered from
+        # the stored diagonal inverse blocks for the K-embedded/planes
+        # engines, exact in-loop phase for the rest
+        phase = _factor.det_phase(self.plan, self.fac)
         rs = np.asarray(self.fac["rs"], dtype=np.float64)
         cs = np.asarray(self.fac["cs"], dtype=np.float64)
         log_scale = float(np.sum(np.log(rs)) + np.sum(np.log(cs)))

@@ -968,6 +968,66 @@ def splu_factorize_multi(plan: SpluPlan, datas):
     return facs
 
 
+def splu_det_phase(plan: SpluPlan, fac):
+    """Recover the COMPLEX determinant phase of a K-embedded
+    factorization (MUMPS ICNTL(33) full complex determinant contract,
+    interface_mumps.c:203-206). Post-pass: runs only when the
+    determinant is requested, so the factorization hot loop stays
+    phase-free.
+
+    The K = [[R,-I],[I,R]] embedding is closed under add / multiply /
+    inverse, so each stored diagonal block is exactly the embedding of
+    the complex INVERSE pivot block Minv_k of the complex block LU.
+    det(P A P^T) = det(A) for the symmetric fill-reducing permutation
+    (sign(P)^2 = 1) and static pivoting does no row interchanges, so
+
+        phase(det A) = conj( prod_k phase(det Minv_k) ).
+
+    Each small complex det phase comes from an unpivoted batched Gauss
+    elimination on M = R + i I assembled IN-TRACE with lax.complex
+    (complex host<->device transfers are unimplemented on this backend;
+    in-trace complex arithmetic is fine). Jittable; returns a real
+    (2,) array (re, im) so nothing complex crosses the transfer layer.
+    """
+    b = plan.b
+    bl = fac["blocks"]
+    if bl.shape[1] != 4 * b * b:          # real layout: phase is exact
+        ph = fac["phase"]
+        return jnp.stack([ph.astype(jnp.float64
+                                    if bl.dtype == jnp.float64
+                                    else jnp.float32),
+                          jnp.zeros((), bl.dtype)])
+    b2 = 2 * b
+    D = bl[jnp.asarray(plan.diag_idx)].reshape(-1, b2, b2)
+    M = lax.complex(D[:, :b, :b], D[:, b:, :b])
+    tot = jnp.conj(jnp.prod(phase_eliminate(M)))
+    return jnp.stack([jnp.real(tot), jnp.imag(tot)])
+
+
+def phase_eliminate(M):
+    """Per-lane phase of det(M) for a batched (w, m, m) COMPLEX array via
+    unpivoted Gauss-Jordan (after column-j elimination the remaining
+    diagonal equals the LU pivot sequence, so the product of pivot
+    phases is the determinant phase). Static pivoting upstream means no
+    row-interchange signs to track. Jittable; all complex arithmetic
+    stays in-trace."""
+    w, m = M.shape[0], M.shape[-1]
+    ph = jnp.ones(w, dtype=M.dtype)
+    tiny = jnp.asarray(1e-300 if M.real.dtype == jnp.float64 else 1e-30,
+                       M.real.dtype)
+    for j in range(m):
+        pj = M[:, j, j]
+        ap = jnp.abs(pj)
+        unit = jnp.where(ap > tiny, pj / jnp.maximum(ap, tiny)
+                         .astype(M.dtype), jnp.ones((), M.dtype))
+        ph = ph * unit
+        safe = jnp.where(ap > tiny, pj, jnp.ones((), M.dtype))
+        row = M[:, j, :] / safe[:, None]
+        f = M[:, :, j].at[:, j].set(0)
+        M = M - f[:, :, None] * row[:, None, :]
+    return ph
+
+
 def splu_solve(plan: SpluPlan, fac, bvec):
     """x = A^{-1} b via packed block substitution. Jittable.
 

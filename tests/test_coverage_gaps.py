@@ -222,3 +222,64 @@ def test_formatters_and_small_sorters():
     assert sort3(3.0, 1.0, 2.0) == (1.0, 2.0, 3.0)
     assert sort4(4.0, 3.0, 2.0, 1.0) == (1.0, 2.0, 3.0, 4.0)
     assert sort4(1.0, 2.0, 3.0, 4.0) == (1.0, 2.0, 3.0, 4.0)
+
+
+# ------------------------------------------------- transfinite 3-D
+
+def test_transfinite_3d_unit_cube_identity():
+    from russell_tpu.pde import Transfinite3d
+    import numpy as np
+
+    # 6 faces of the reference cube itself: the Coons volume must be the
+    # identity map (transfinite_3d.rs role)
+    faces = [
+        lambda b, g: np.array([-1.0, b, g]),   # xmin
+        lambda b, g: np.array([+1.0, b, g]),   # xmax
+        lambda a, g: np.array([a, -1.0, g]),   # ymin
+        lambda a, g: np.array([a, +1.0, g]),   # ymax
+        lambda a, b: np.array([a, b, -1.0]),   # zmin
+        lambda a, b: np.array([a, b, +1.0]),   # zmax
+    ]
+    tr = Transfinite3d(faces)
+    for a in (-1.0, -0.3, 0.5, 1.0):
+        for b in (-1.0, 0.2, 1.0):
+            for g in (-0.7, 0.0, 1.0):
+                x = np.asarray(tr.point(a, b, g))
+                assert np.allclose(x, [a, b, g], atol=1e-14), (a, b, g)
+
+
+def test_transfinite_3d_bad_faces():
+    from russell_tpu.pde import Transfinite3d
+    with pytest.raises(ValueError):
+        Transfinite3d([lambda a, b: (a, b, 0.0)] * 5)
+
+
+# ---------------------------------------------------- ode Output JSON
+
+def test_ode_output_json_roundtrip_and_yx_correct(tmp_path):
+    from russell_tpu.ode import Method, OdeSolver, Output, Params
+    from russell_tpu.ode.output import OutCount, OutData
+    from russell_tpu.ode import samples
+
+    system, x0, y0, args, y_fn = samples.hairer_wanner_eq1()
+    params = Params(Method.DOPRI5)
+    params.set_tolerances(1e-8, 1e-8)
+    out = Output()
+    out.set_dense_h_out(0.25)
+    out.set_dense_recording([0])
+    out.set_dense_file_writing(str(tmp_path / "run"))
+    out.set_yx_correct(lambda x: y_fn(x, None))
+    solver = OdeSolver(params, system)
+    solver.solve(y0, x0, 1.0, args=None, output=out)
+    xs = out.dense_x()
+    assert len(xs) >= 3 and abs(xs[1] - xs[0] - 0.25) < 1e-12
+    # files written: count + one OutData per station
+    cnt = OutCount.read_json(str(tmp_path / "run_count.json"))
+    assert cnt.n == len(xs)
+    d0 = OutData.read_json(str(tmp_path / "run_0.json"))
+    assert abs(d0.x - xs[0]) < 1e-12
+    # roundtrip
+    p = tmp_path / "one.json"
+    d0.write_json(str(p))
+    d1 = OutData.read_json(str(p))
+    assert d1.x == d0.x and list(d1.y) == list(d0.y)

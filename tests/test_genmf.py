@@ -76,6 +76,12 @@ def test_genmf_complex_planes():
     assert err < 1e-10
     assert abs(float(fac["logdet"])
                - np.linalg.slogdet(A)[1]) < 1e-6
+    # full complex determinant phase (MUMPS ICNTL(33) contract)
+    from russell_tpu.sparse import factor as _factor
+    from russell_tpu.sparse.enums import Genie
+    sp = _factor.SolvePlan(genie=Genie.AUTO, n=n, rows=ii, cols=jj)
+    ph = _factor.det_phase(sp, fac)
+    assert abs(ph - np.linalg.slogdet(A)[0]) < 1e-6
 
 
 def test_genmf_disconnected_graph():

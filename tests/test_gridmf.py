@@ -76,6 +76,13 @@ def test_gridmf_complex_planes(shape, s):
     # ghost pivots carry a REAL unit diagonal: log|det| stays exact even
     # on padded (non-2^a) grids
     assert abs(float(fac["logdet"]) - ld_ref) < 1e-7 * max(1.0, abs(ld_ref))
+    # full complex determinant phase (MUMPS ICNTL(33) contract):
+    # recovered post-hoc from the stored inverse pivot planes
+    from russell_tpu.sparse import factor as _factor
+    from russell_tpu.sparse.enums import Genie
+    sp = _factor.SolvePlan(genie=Genie.AUTO, n=n, rows=rows, cols=cols)
+    ph = _factor.det_phase(sp, fac)
+    assert abs(ph - sign) < 1e-6
 
 
 def _stencil_coo_3d(n0, n1, n2, s, rng):

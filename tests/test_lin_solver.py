@@ -757,3 +757,59 @@ def test_fcg_tier_out_of_core_eager(monkeypatch):
     x = sol.solve(b)
     v = VerifyLinSys.from_system(coo, x, b)
     assert v.relative_error < 1e-10
+
+
+def test_splu_complex_determinant_phase():
+    # MUMPS ICNTL(33) full COMPLEX determinant (interface_mumps.c:203-206
+    # contract): the K-embedding loses the phase in the factorize loop;
+    # splu_det_phase must recover it from the stored diagonal inverse
+    # blocks.  Oracle: numpy det of the dense assembled matrix.
+    import jax.numpy as jnp
+    from russell_tpu.sparse import CooMatrix, Genie
+    from russell_tpu.sparse import splu as _splu
+
+    rng = np.random.default_rng(7)
+    n = 18
+    coo = CooMatrix(n, n, 400, dtype=np.complex128)
+    for k in range(n):                       # dominant diagonal
+        coo.put(k, k, complex(3.0 + rng.normal(), rng.normal()))
+    for _ in range(60):
+        i, j = rng.integers(0, n, 2)
+        coo.put(int(i), int(j), complex(rng.normal(), rng.normal()))
+    A = np.asarray(coo.as_dense())
+    det_ref = np.linalg.det(A)
+    phase_ref = det_ref / abs(det_ref)
+
+    # direct engine-level check
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    plan = _splu.splu_analyze(n, ii, jj, block_size=8)
+    fac = _splu.splu_factorize(plan, jnp.asarray(vv))
+    pri = np.asarray(_splu.splu_det_phase(plan, fac))
+    got = complex(pri[0], pri[1])
+    assert abs(got - phase_ref) < 1e-6
+    assert abs(abs(got) - 1.0) < 1e-6
+    # |det| from the embedding still exact
+    assert abs(float(fac["logdet"]) - np.log(abs(det_ref))) < 1e-8
+
+    # through the LinSolver determinant surface
+    solver = LinSolver(Genie.SPLU)
+    solver.factorize(coo, LinSolParams(compute_determinant=True))
+    m, base, e = solver.determinant()
+    det_got = m * base ** e
+    assert abs(det_got - det_ref) / abs(det_ref) < 1e-6
+
+    # real input keeps the exact +-1 sign through the same surface
+    pri_r = np.asarray(_splu.splu_det_phase(
+        *_real_phase_case()))
+    assert pri_r[1] == 0.0 and pri_r[0] in (-1.0, 1.0)
+
+
+def _real_phase_case():
+    import jax.numpy as jnp
+    from russell_tpu.sparse import samples as _samples
+    from russell_tpu.sparse import splu as _splu
+    coo = _samples.laplacian_2d(5)
+    ii, jj, vv = map(np.asarray, coo.triplets())
+    plan = _splu.splu_analyze(coo.nrow, ii, jj, block_size=8)
+    fac = _splu.splu_factorize(plan, jnp.asarray(-np.asarray(vv)))
+    return plan, fac
