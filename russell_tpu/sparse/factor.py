@@ -28,6 +28,7 @@ whole pipeline stays jittable (no mid-trace exceptions).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -237,7 +238,14 @@ def analyze(
                                      pivot_epsilon=pivot_epsilon)
         return SolvePlan(Genie.GENMF, n, rows, cols,
                          genmf_plan=gplan,
-                         genmf_steps=jax.default_backend() != "cpu",
+                         # RUSSELL_TPU_GENMF_WHOLE=1: try the barriered
+                         # whole-program graph on the TPU backend (single
+                         # dispatch; the un-barriered graph aborts the
+                         # server compiler — kSublaneGather)
+                         genmf_steps=(jax.default_backend() != "cpu"
+                                      and not int(os.environ.get(
+                                          "RUSSELL_TPU_GENMF_WHOLE",
+                                          "0"))),
                          scaling=Scaling.MAX if scaling == Scaling.AUTO
                          else scaling,
                          pivot_epsilon=pivot_epsilon,
@@ -982,7 +990,12 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
     # + 6 FGMRES(10) cycles burning ~100 preconditioner solves for one
     # last decade — are skipped. VERDICT r3: this burn made warm solves
     # 50-240x slower than the reference.
-    w_accept = 300.0 * jnp.finfo(rdt).eps
+    # size-aware: the componentwise omega_1 floor of an f32-factor
+    # preconditioned solve grows ~sqrt(n) with accumulation length;
+    # at n=264k a flat 300 eps is below the reachable floor and the
+    # Krylov tiers burn their full budgets for nothing (measured: warm
+    # solve 101 s on geometric_264k with rel_err ALREADY 1.3e-15)
+    w_accept = max(300.0, 3.0 * np.sqrt(plan.n)) * jnp.finfo(rdt).eps
     cplx = jnp.iscomplexobj(jnp.zeros((), dtype))
     tiny = jnp.finfo(rdt).tiny
 
@@ -1109,6 +1122,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             p = z
             rz = jnp.vdot(resid, z)
             x_best, w_best = x, w
+            stall = 0
             for _ in range(max_cg):
                 Ap = matvec(p)
                 pAp = float(jnp.real(jnp.vdot(p, Ap)))
@@ -1118,9 +1132,17 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
                 x = (x + alpha * p).astype(dtype)
                 resid, w_dev = _resid_w(x, denom0)
                 w = float(w_dev)
+                # stagnation cutoff: a stalled-but-not-diverging run
+                # used to burn all max_cg iterations (each a full
+                # preconditioner pass) once w floored above w_accept
+                if w < 0.7 * w_best:
+                    stall = 0
+                else:
+                    stall += 1
                 if w < w_best:
                     x_best, w_best = x, w
-                if w_best <= float(w_accept) or w > 1e3 * w_best:
+                if (w_best <= float(w_accept) or w > 1e3 * w_best
+                        or stall >= 4):
                     break
                 z2 = _solve_once(plan, fac, resid).astype(dtype)
                 beta = jnp.vdot(resid, z2 - z) / rz
@@ -1155,11 +1177,12 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
 
     if use_cg:
         def cg_cond(c):
-            _x, _xb, _r, _z, _p, _rz, w, wb, k = c
-            return (k < max_cg) & (wb > w_accept) & (w < 1e3 * wb)
+            _x, _xb, _r, _z, _p, _rz, w, wb, k, stall = c
+            return ((k < max_cg) & (wb > w_accept) & (w < 1e3 * wb)
+                    & (stall < 4))
 
         def cg_body(c):
-            x, xb, r, z, p, rz, _w, wb, k = c
+            x, xb, r, z, p, rz, _w, wb, k, stall = c
             Ap = matvec(p)
             pAp = jnp.real(jnp.vdot(p, Ap))
             ok = (pAp > 0.0) & (jnp.real(rz) > 0.0)
@@ -1174,16 +1197,19 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             better = w2 < wb
             xb2 = jnp.where(better, x2, xb)
             wb2 = jnp.where(better, w2, wb)
+            # stagnation counter: a stalled-but-not-diverging run used
+            # to burn all max_cg preconditioner passes once w floored
+            stall2 = jnp.where(w2 < 0.7 * wb, 0, stall + 1)
             # a numerically indefinite step ends the tier at the best
             # iterate (the divergence guard in cg_cond fires)
             w2 = jnp.where(ok, w2, jnp.inf)
-            return (x2, xb2, r2, z2, p2, rz2, w2, wb2, k + 1)
+            return (x2, xb2, r2, z2, p2, rz2, w2, wb2, k + 1, stall2)
 
         def _run_cg(arg):
             x, resid, w = arg
             z0 = _solve_once(plan, fac, resid).astype(dtype)
             st = (x, x, resid, z0, z0, jnp.vdot(resid, z0), w, w,
-                  jnp.zeros((), jnp.int32))
+                  jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
             out = lax.while_loop(cg_cond, cg_body, st)
             return out[1], out[7]       # best iterate, best backward error
 

@@ -501,11 +501,16 @@ def genmf_factorize(plan: GenMfPlan, data, shard=None):
         for link in c.links:
             # index (don't pop): a child class may feed parents in
             # SEVERAL classes; under tracing, liveness is dataflow-based
+            # optimization_barrier: fusing these gathers into their
+            # scatter/slice consumers aborts the attached backend's
+            # server compiler (kSublaneGather fusion CHECK) — same
+            # guard as the stepped drivers
             ps = jnp.asarray(link.parent_slot)
-            fr = fr.at[ps].add(_gather_schur(link, schur_re[link.src]))
+            fr = fr.at[ps].add(jax.lax.optimization_barrier(
+                _gather_schur(link, schur_re[link.src])))
             if cplx:
-                fi = fi.at[ps].add(
-                    _gather_schur(link, schur_im[link.src]))
+                fi = fi.at[ps].add(jax.lax.optimization_barrier(
+                    _gather_schur(link, schur_im[link.src])))
         e = c.e
         Sr, Si = fr[:, :e, :e], (fi[:, :e, :e] if cplx else None)
         Br, Bi = fr[:, :e, e:], (fi[:, :e, e:] if cplx else None)
@@ -559,10 +564,13 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
         fr = jnp.zeros((c.n_nodes, c.F), rdt)
         fi = jnp.zeros((c.n_nodes, c.F), rdt) if cplx else None
         for link in c.links:
+            # optimization_barrier: see genmf_factorize (kSublaneGather)
             ps = jnp.asarray(link.parent_slot)
-            fr = fr.at[ps].add(_gather_vec(link, fk_re[link.src]))
+            fr = fr.at[ps].add(jax.lax.optimization_barrier(
+                _gather_vec(link, fk_re[link.src])))
             if cplx:
-                fi = fi.at[ps].add(_gather_vec(link, fk_im[link.src]))
+                fi = fi.at[ps].add(jax.lax.optimization_barrier(
+                    _gather_vec(link, fk_im[link.src])))
         ev = jnp.asarray(c.elim_var)
         fr = fr.at[:, :e].add(bp_re[ev])
         if cplx:
@@ -624,13 +632,15 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
                      ).reshape(-1))
                 cs = jnp.asarray(link.child_slot)
                 src = plan.classes[link.src]
-                vals = xfr_flat[flat_idx].reshape(m_l, r_l)
+                vals = jax.lax.optimization_barrier(
+                    xfr_flat[flat_idx].reshape(m_l, r_l))
                 tgt = xk_re.get(link.src)
                 if tgt is None:
                     tgt = jnp.zeros((src.n_nodes, src.r), rdt)
                 xk_re[link.src] = tgt.at[cs].set(vals)
                 if cplx:
-                    vi = xfi_flat[flat_idx].reshape(m_l, r_l)
+                    vi = jax.lax.optimization_barrier(
+                        xfi_flat[flat_idx].reshape(m_l, r_l))
                     ti_ = xk_im.get(link.src)
                     if ti_ is None:
                         ti_ = jnp.zeros((src.n_nodes, src.r), rdt)
