@@ -238,14 +238,13 @@ def analyze(
                                      pivot_epsilon=pivot_epsilon)
         return SolvePlan(Genie.GENMF, n, rows, cols,
                          genmf_plan=gplan,
-                         # RUSSELL_TPU_GENMF_WHOLE=1: try the barriered
-                         # whole-program graph on the TPU backend (single
-                         # dispatch; the un-barriered graph aborts the
-                         # server compiler — kSublaneGather)
-                         genmf_steps=(jax.default_backend() != "cpu"
-                                      and not int(os.environ.get(
-                                          "RUSSELL_TPU_GENMF_WHOLE",
-                                          "0"))),
+                         # host-driven numeric/refinement driver on the
+                         # TPU backend; the inner factorize/solve calls
+                         # prefer cached WHOLE-program jits and fall
+                         # back to the per-depth stepped drivers if the
+                         # server compiler rejects the one-graph form
+                         # (see _genmf_whole)
+                         genmf_steps=jax.default_backend() != "cpu",
                          scaling=Scaling.MAX if scaling == Scaling.AUTO
                          else scaling,
                          pivot_epsilon=pivot_epsilon,
@@ -739,7 +738,15 @@ def _numeric_factorize(plan: SolvePlan, data):
         data, rs, cs = _equilibrate(plan, data)
         d = data.astype(_factor_dtype(plan, data.dtype))
         if plan.genmf_steps and not isinstance(data, jax.core.Tracer):
-            fac = _genmf.genmf_factorize_steps(plan.genmf_plan, d)
+            fac = None
+            fn = _genmf_whole(plan, "fact", d.dtype)
+            if fn is not None:
+                try:
+                    fac = fn(d)
+                except Exception as ex:  # noqa: BLE001 — compiler abort
+                    _genmf_whole_reject(plan, "fact", d.dtype, ex)
+            if fac is None:
+                fac = _genmf.genmf_factorize_steps(plan.genmf_plan, d)
         else:
             fac = _genmf.genmf_factorize(plan.genmf_plan, d)
         fac["rs"] = rs
@@ -747,6 +754,61 @@ def _numeric_factorize(plan: SolvePlan, data):
         fac["data"] = data
         return fac
     raise ValueError(f"unsupported genie {plan.genie}")
+
+
+# whole-program GENMF jits: ONE device dispatch for the whole numeric
+# phase instead of ~2 launches per tree depth. The un-barriered
+# one-graph form aborts the attached backend's server compiler
+# (kSublaneGather fusion CHECK); with optimization barriers around every
+# extend-add gather it compiles and runs 5-200x faster than the stepped
+# drivers (measured n=30000: factorize 160 ms vs 780 ms, solve 28 ms vs
+# 5961 ms, bit-identical). Kept behind a try/fallback because the
+# compile of the one-graph form at larger scales may still be rejected
+# ("response body closed"); a rejected (plan, kind) is remembered and
+# the per-depth stepped drivers take over. RUSSELL_TPU_GENMF_WHOLE=0
+# forces stepped (skips the possibly-long failing compile attempt).
+_genmf_whole_cache: dict = {}
+
+
+def _genmf_whole(plan: SolvePlan, kind: str, dtype):
+    if jnp.issubdtype(dtype, jnp.complexfloating):
+        return None              # complex runs as planes via the steps
+    if not int(os.environ.get("RUSSELL_TPU_GENMF_WHOLE", "1")):
+        return None
+    key = (id(plan), kind, str(dtype))
+    fn = _genmf_whole_cache.get(key)
+    if fn is False:
+        return None
+    if fn is None:
+        gplan = plan.genmf_plan
+        # every index vector rides as an ARGUMENT pytree, not a jaxpr
+        # constant: the literal-heavy one-graph form is rejected by the
+        # remote server compiler at ~10^5 fronts (tens of MB of
+        # constants), the argument form compiles
+        pd = _genmf_whole_cache.get((id(plan), "params"))
+        if pd is None:
+            pd = {k: jnp.asarray(v)
+                  for k, v in _genmf.whole_params(gplan).items()}
+            _genmf_whole_cache[(id(plan), "params")] = pd
+        if kind == "fact":
+            jf = jax.jit(lambda d, P: _genmf.genmf_factorize(
+                gplan, d, params=P))
+            fn = lambda d: jf(d, pd)
+        else:
+            jf = jax.jit(lambda cls, b, P: _genmf.genmf_solve(
+                gplan, {"classes": cls}, b, params=P))
+            fn = lambda cls, b: jf(cls, b, pd)
+        _genmf_whole_cache[key] = fn
+    return fn
+
+
+def _genmf_whole_reject(plan: SolvePlan, kind: str, dtype, ex):
+    import warnings
+    _genmf_whole_cache[(id(plan), kind, str(dtype))] = False
+    warnings.warn(
+        f"whole-program GENMF {kind} compile rejected by the backend "
+        f"({type(ex).__name__}: {str(ex)[:300]}); falling back to "
+        f"stepped drivers")
 
 
 def numeric_factorize_pair(plan: SolvePlan, data_r, data_c):
@@ -896,7 +958,15 @@ def _solve_once(plan: SolvePlan, fac, b):
         out_dtype = fac["data"].dtype
         y = fac["rs"].astype(out_dtype) * jnp.asarray(b).astype(out_dtype)
         if plan.genmf_steps and not isinstance(y, jax.core.Tracer):
-            x = _genmf.genmf_solve_steps(plan.genmf_plan, fac, y)
+            x = None
+            fn = _genmf_whole(plan, "solve", y.dtype)
+            if fn is not None:
+                try:
+                    x = fn(fac["classes"], y)
+                except Exception as ex:  # noqa: BLE001 — compiler abort
+                    _genmf_whole_reject(plan, "solve", y.dtype, ex)
+            if x is None:
+                x = _genmf.genmf_solve_steps(plan.genmf_plan, fac, y)
         else:
             x = _genmf.genmf_solve(plan.genmf_plan, fac, y)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)

@@ -425,25 +425,55 @@ def genmf_analyze(n: int, rows, cols, leaf_target: int = 96,
 # ---------------------------------------------------------------------------
 
 
-def _presum(plan: GenMfPlan, data):
-    d = data[jnp.asarray(plan.entry_perm)]
-    return jax.ops.segment_sum(d, jnp.asarray(plan.entry_seg),
+def _presum(plan: GenMfPlan, data, params=None):
+    P = _mk_P(params)
+    d = data[P("eperm", lambda: plan.entry_perm)]
+    return jax.ops.segment_sum(d, P("eseg", lambda: plan.entry_seg),
                                num_segments=plan.n_uniq,
                                indices_are_sorted=True)
 
 
-def _assemble(c: _GClass, uniq, dtype, ghost=True):
+def _mk_P(params):
+    """Index-array accessor: embedded constants (params=None, the
+    stepped/per-group form) or traced ARGUMENTS from a whole_params()
+    pytree — embedding every index vector as a literal blows the
+    one-graph program past what the remote server compiler accepts at
+    ~10^5 fronts (tens of MB of constants), while as plain inputs the
+    same graph compiles. whole_params() is SIZE-GATED: small index
+    vectors stay constants (constant-index gathers compile to faster
+    device code than runtime-index ones), only the big ones ride as
+    arguments — a key absent from the pytree falls back to the
+    constant form."""
+    if params is None:
+        return lambda key, build: jnp.asarray(build())
+
+    def P(key, build):
+        v = params.get(key)
+        return jnp.asarray(build()) if v is None else v
+    return P
+
+
+def _assemble(c: _GClass, uniq, dtype, ghost=True, params=None, ci=None):
+    P = _mk_P(params)
     F = c.F
     flat = jnp.zeros(c.n_nodes * F * F, dtype=dtype)
     if ghost and len(c.pad_diag):
-        flat = flat.at[jnp.asarray(c.pad_diag)].add(1.0)
+        flat = flat.at[P(f"pd{ci}", lambda: c.pad_diag)].add(1.0)
     if c.asm_len:
         vals = jax.lax.dynamic_slice(uniq, (c.asm_off,), (c.asm_len,))
-        flat = flat.at[jnp.asarray(c.asm_idx)].add(vals.astype(dtype))
+        flat = flat.at[P(f"asm{ci}", lambda: c.asm_idx)].add(
+            vals.astype(dtype))
     return flat.reshape(c.n_nodes, F, F)
 
 
-def _gather_schur(link: _GLink, S):
+def _schur_idx(link: _GLink, r):
+    r1 = r + 1
+    return (link.child_slot[:, None, None] * (r1 * r1)
+            + link.inv[:, :, None] * r1
+            + link.inv[:, None, :]).reshape(-1)
+
+
+def _gather_schur(link: _GLink, S, idx=None):
     """(m, F_p, F_p) block of one child class's padded Schur.
 
     ONE flat dim-0 gather: any multi-dim take_along_axis (minor axis or
@@ -451,40 +481,79 @@ def _gather_schur(link: _GLink, S):
     (fusion_emitter GatherType::kSublaneGather check, observed
     2026-08-19 at 30k fronts); flat dim-0 gathers are the pattern the
     GRIDMF/SPLU engines already run on-chip successfully."""
-    r1 = S.shape[-1] + 1
     m, Fp = link.inv.shape
     Spad = jnp.pad(S, ((0, 0), (0, 1), (0, 1))).reshape(-1)
-    # precompute the FLAT index on the host (constant in the jaxpr) and
-    # gather 1-D -> 1-D: the only gather form this backend's fusion
-    # emitter accepts for per-row index patterns
-    idx = (link.child_slot[:, None, None] * (r1 * r1)
-           + link.inv[:, :, None] * r1
-           + link.inv[:, None, :]).reshape(-1)
-    return Spad[jnp.asarray(idx)].reshape(m, Fp, Fp)
+    # the FLAT index is host-precomputed: a jaxpr constant in the
+    # stepped form, a traced input in the whole-program form
+    if idx is None:
+        idx = jnp.asarray(_schur_idx(link, S.shape[-1]))
+    return Spad[idx].reshape(m, Fp, Fp)
 
 
-def _gather_vec(link: _GLink, v):
+def _vec_idx(link: _GLink, r):
+    return (link.child_slot[:, None] * (r + 1) + link.inv).reshape(-1)
+
+
+def _gather_vec(link: _GLink, v, idx=None):
     # flat dim-0 gather (see _gather_schur)
-    r1 = v.shape[-1] + 1
     m, Fp = link.inv.shape
     vpad = jnp.pad(v, ((0, 0), (0, 1))).reshape(-1)
-    idx = (link.child_slot[:, None] * r1 + link.inv).reshape(-1)
-    return vpad[jnp.asarray(idx)].reshape(m, Fp)
+    if idx is None:
+        idx = jnp.asarray(_vec_idx(link, v.shape[-1]))
+    return vpad[idx].reshape(m, Fp)
 
 
-def genmf_factorize(plan: GenMfPlan, data, shard=None):
+def whole_params(plan: GenMfPlan, min_elems: int = 65536) -> dict:
+    """Host pytree of the LARGE index arrays the whole-program factorize
+    and solve graphs take as ARGUMENTS (see _mk_P). Ship once with
+    jnp.asarray per leaf and pass to genmf_factorize/genmf_solve
+    (params=...). Arrays under ``min_elems`` stay jaxpr constants:
+    constant-index gathers compile to faster device code, and only the
+    big vectors (entry permutation/segments, the widest extend-add
+    index maps) push the serialized program past what the server
+    accepts."""
+    out = {}
+
+    def put(key, arr):
+        if arr.size >= min_elems:
+            out[key] = arr
+
+    put("eperm", plan.entry_perm)
+    put("eseg", plan.entry_seg)
+    for ci, c in enumerate(plan.classes):
+        if len(c.pad_diag):
+            put(f"pd{ci}", c.pad_diag)
+        if c.asm_len:
+            put(f"asm{ci}", c.asm_idx)
+        put(f"ev{ci}", c.elim_var)
+        for k, link in enumerate(c.links):
+            src = plan.classes[link.src]
+            put(f"ls{ci}_{k}", _schur_idx(link, src.r))
+            put(f"lv{ci}_{k}", _vec_idx(link, src.r))
+            put(f"ps{ci}_{k}", link.parent_slot)
+            put(f"cs{ci}_{k}", link.child_slot)
+            F1 = c.F + 1
+            put(f"fw{ci}_{k}", (link.parent_slot[:, None] * F1
+                                + link.fwd).reshape(-1))
+    return out
+
+
+def genmf_factorize(plan: GenMfPlan, data, shard=None, params=None):
     """Batched multifrontal factorization over the size classes.
-    Jittable for a fixed plan; SPLU/GRIDMF-compatible fac surface."""
+    Jittable for a fixed plan; SPLU/GRIDMF-compatible fac surface.
+    ``params``: optional whole_params() pytree passed as traced inputs
+    (see _mk_P)."""
     if shard is None:
         shard = lambda a: a
+    P = _mk_P(params)
     data = jnp.asarray(data)
     cplx = jnp.iscomplexobj(data)
     rdt = jnp.real(data).dtype
     if cplx:
-        uniq_re = _presum(plan, jnp.real(data))
-        uniq_im = _presum(plan, jnp.imag(data))
+        uniq_re = _presum(plan, jnp.real(data), params)
+        uniq_im = _presum(plan, jnp.imag(data), params)
     else:
-        uniq_re = _presum(plan, data)
+        uniq_re = _presum(plan, data, params)
         uniq_im = None
     delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(rdt)
 
@@ -496,21 +565,24 @@ def genmf_factorize(plan: GenMfPlan, data, shard=None):
     npc = jnp.zeros((), jnp.int32)
     ph = jnp.ones((), rdt)
     for ci, c in enumerate(plan.classes):
-        fr = shard(_assemble(c, uniq_re, rdt))
-        fi = shard(_assemble(c, uniq_im, rdt, ghost=False)) if cplx else None
-        for link in c.links:
+        fr = shard(_assemble(c, uniq_re, rdt, params=params, ci=ci))
+        fi = shard(_assemble(c, uniq_im, rdt, ghost=False, params=params,
+                             ci=ci)) if cplx else None
+        for k, link in enumerate(c.links):
             # index (don't pop): a child class may feed parents in
             # SEVERAL classes; under tracing, liveness is dataflow-based
             # optimization_barrier: fusing these gathers into their
             # scatter/slice consumers aborts the attached backend's
             # server compiler (kSublaneGather fusion CHECK) — same
             # guard as the stepped drivers
-            ps = jnp.asarray(link.parent_slot)
+            ps = P(f"ps{ci}_{k}", lambda: link.parent_slot)
+            li = (params.get(f"ls{ci}_{k}") if params is not None
+                  else None)
             fr = fr.at[ps].add(jax.lax.optimization_barrier(
-                _gather_schur(link, schur_re[link.src])))
+                _gather_schur(link, schur_re[link.src], li)))
             if cplx:
                 fi = fi.at[ps].add(jax.lax.optimization_barrier(
-                    _gather_schur(link, schur_im[link.src])))
+                    _gather_schur(link, schur_im[link.src], li)))
         e = c.e
         Sr, Si = fr[:, :e, :e], (fi[:, :e, :e] if cplx else None)
         Br, Bi = fr[:, :e, e:], (fi[:, :e, e:] if cplx else None)
@@ -537,11 +609,13 @@ def genmf_factorize(plan: GenMfPlan, data, shard=None):
             "n_perturbed": npc}
 
 
-def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
+def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None, params=None):
     """x = A^{-1} b: up-sweep (rhs elimination, deepest classes first)
-    then down-sweep (back-substitution). Jittable."""
+    then down-sweep (back-substitution). Jittable. ``params``: optional
+    whole_params() pytree passed as traced inputs (see _mk_P)."""
     if shard is None:
         shard = lambda a: a
+    P = _mk_P(params)
     bvec = jnp.asarray(bvec)
     first = next(st for st in fac["classes"] if st["sir"] is not None)
     cplx = first["sii"] is not None
@@ -563,15 +637,17 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
         e = c.e
         fr = jnp.zeros((c.n_nodes, c.F), rdt)
         fi = jnp.zeros((c.n_nodes, c.F), rdt) if cplx else None
-        for link in c.links:
+        for k, link in enumerate(c.links):
             # optimization_barrier: see genmf_factorize (kSublaneGather)
-            ps = jnp.asarray(link.parent_slot)
+            ps = P(f"ps{ci}_{k}", lambda: link.parent_slot)
+            li = (params.get(f"lv{ci}_{k}") if params is not None
+                  else None)
             fr = fr.at[ps].add(jax.lax.optimization_barrier(
-                _gather_vec(link, fk_re[link.src])))
+                _gather_vec(link, fk_re[link.src], li)))
             if cplx:
                 fi = fi.at[ps].add(jax.lax.optimization_barrier(
-                    _gather_vec(link, fk_im[link.src])))
-        ev = jnp.asarray(c.elim_var)
+                    _gather_vec(link, fk_im[link.src], li)))
+        ev = P(f"ev{ci}", lambda: c.elim_var)
         fr = fr.at[:, :e].add(bp_re[ev])
         if cplx:
             fi = fi.at[:, :e].add(bp_im[ev])
@@ -610,7 +686,7 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
                        ri[:, :, None] if cplx else None)
         xer = xer[:, :, 0]
         xei = xei[:, :, 0] if cplx else None
-        ev = jnp.asarray(c.elim_var)
+        ev = P(f"ev{ci}", lambda: c.elim_var)
         x_re = x_re.at[ev.reshape(-1)].set(xer.reshape(-1), mode="drop")
         if cplx:
             x_im = x_im.at[ev.reshape(-1)].set(xei.reshape(-1), mode="drop")
@@ -623,14 +699,14 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None):
             F1 = xf_re.shape[-1]
             xfr_flat = xf_re.reshape(-1)
             xfi_flat = xf_im.reshape(-1) if cplx else None
-            for link in c.links:
+            for k, link in enumerate(c.links):
                 # flat dim-0 gather (kSublaneGather workaround,
                 # see _gather_schur)
                 m_l, r_l = link.fwd.shape
-                flat_idx = jnp.asarray(
-                    (link.parent_slot[:, None] * F1 + link.fwd
-                     ).reshape(-1))
-                cs = jnp.asarray(link.child_slot)
+                flat_idx = P(f"fw{ci}_{k}", lambda: (
+                    link.parent_slot[:, None] * F1 + link.fwd
+                ).reshape(-1))
+                cs = P(f"cs{ci}_{k}", lambda: link.child_slot)
                 src = plan.classes[link.src]
                 vals = jax.lax.optimization_barrier(
                     xfr_flat[flat_idx].reshape(m_l, r_l))

@@ -285,3 +285,39 @@ def test_genmf_complex_plane_solve_f64_accuracy():
     # c64 API floor is ~2e-8 relative (see the eager-dispatch test);
     # plane refinement must beat it by >= 4 decades
     assert resid < 1e-12 * np.max(np.abs(A))
+
+
+def test_genmf_whole_program_fallback_bookkeeping():
+    # the TPU driver prefers ONE whole-program jit per numeric phase and
+    # must remember a backend rejection (kSublaneGather / response-size
+    # aborts) so later calls go straight to the stepped drivers
+    import warnings
+    import numpy as np
+    from russell_tpu.sparse import factor as _factor
+    from russell_tpu.sparse.enums import Genie
+
+    n = 300
+    ii, jj, vals = _irregular_coo(n, 3)
+    plan = _factor.analyze(n, ii, jj, genie=Genie.GENMF)
+    assert _factor._genmf_whole(plan, "fact", np.dtype(np.float32)) \
+        is not None
+    # complex stays on the planes-based stepped drivers
+    assert _factor._genmf_whole(plan, "fact",
+                                np.dtype(np.complex64)) is None
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        _factor._genmf_whole_reject(plan, "fact", np.dtype(np.float32),
+                                    RuntimeError("simulated abort"))
+    assert _factor._genmf_whole(plan, "fact", np.dtype(np.float32)) \
+        is None
+    # the solve phase is tracked independently
+    assert _factor._genmf_whole(plan, "solve", np.dtype(np.float32)) \
+        is not None
+    # env off-switch skips the whole-program attempt entirely
+    import os
+    os.environ["RUSSELL_TPU_GENMF_WHOLE"] = "0"
+    try:
+        assert _factor._genmf_whole(plan, "solve",
+                                    np.dtype(np.float64)) is None
+    finally:
+        del os.environ["RUSSELL_TPU_GENMF_WHOLE"]
