@@ -15,9 +15,19 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from russell_tpu.sparse import factor as _factor
 
+
+def _plan_fns(plan) -> dict:
+    """Per-plan jit cache attached to the plan object (an id(plan)-keyed
+    module dict poisons a NEW plan when the GC recycles the id)."""
+    st = getattr(plan, "_par_fns", None)
+    if st is None:
+        st = plan._par_fns = {}
+    return st
+
+
 __all__ = ["batch_factor_solve"]
 
-_fn_cache: dict = {}  # (plan id, mesh, axis) -> jitted vmapped solver
+# per-plan jit caches live on the plan object (_plan_fns)
 
 
 def batch_factor_solve(mesh: Mesh, plan, batch_vals, batch_rhs, axis: str = "rows"):
@@ -26,8 +36,9 @@ def batch_factor_solve(mesh: Mesh, plan, batch_vals, batch_rhs, axis: str = "row
     ``batch_vals``: (B, nnz) entry values, ``batch_rhs``: (B, n); the batch
     axis is sharded over ``mesh`` axis ``axis``. Returns (B, n) solutions.
     """
-    key = (id(plan), mesh, axis)
-    fn = _fn_cache.get(key)
+    cache = _plan_fns(plan)
+    key = ("batch", mesh, axis)
+    fn = cache.get(key)
     if fn is None:
         sharding = NamedSharding(mesh, P(axis))
 
@@ -38,5 +49,5 @@ def batch_factor_solve(mesh: Mesh, plan, batch_vals, batch_rhs, axis: str = "row
         fn = jax.jit(jax.vmap(one),
                      in_shardings=(sharding, sharding),
                      out_shardings=sharding)
-        _fn_cache[key] = fn
+        cache[key] = fn
     return fn(batch_vals, batch_rhs)

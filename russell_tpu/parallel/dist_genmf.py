@@ -23,6 +23,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from russell_tpu.sparse.genmf import GenMfPlan, genmf_factorize, genmf_solve
 
+
+def _plan_fns(plan) -> dict:
+    """Per-plan jit cache attached to the plan object (an id(plan)-keyed
+    module dict poisons a NEW plan when the GC recycles the id)."""
+    st = getattr(plan, "_par_fns", None)
+    if st is None:
+        st = plan._par_fns = {}
+    return st
+
+
 __all__ = ["dist_genmf_factorize", "dist_genmf_solve"]
 
 
@@ -42,30 +52,32 @@ def _node_shard(mesh: Mesh, axis: str):
 
 # jitted wrappers keyed by (plan identity, mesh, axis) — a fresh
 # jax.jit(lambda) per call would recompile every invocation
-_fact_cache: dict = {}
-_solve_cache: dict = {}
+
+
 
 
 def dist_genmf_factorize(mesh: Mesh, plan: GenMfPlan, data,
                          axis: str = "rows"):
     """Numeric GENMF factorization with per-class node batches sharded
     blockwise over ``mesh``; fac feeds genmf_solve/dist_genmf_solve."""
-    key = (id(plan), mesh, axis)
-    fn = _fact_cache.get(key)
+    cache = _plan_fns(plan)
+    key = ("fact", mesh, axis)
+    fn = cache.get(key)
     if fn is None:
         shard = _node_shard(mesh, axis)
         fn = jax.jit(lambda d: genmf_factorize(plan, d, shard=shard))
-        _fact_cache[key] = fn
+        cache[key] = fn
     return fn(data)
 
 
 def dist_genmf_solve(mesh: Mesh, plan: GenMfPlan, fac, b,
                      axis: str = "rows"):
     """Up/down substitution sweeps with the same node-axis sharding."""
-    key = (id(plan), mesh, axis)
-    fn = _solve_cache.get(key)
+    cache = _plan_fns(plan)
+    key = ("solve", mesh, axis)
+    fn = cache.get(key)
     if fn is None:
         shard = _node_shard(mesh, axis)
         fn = jax.jit(lambda f, v: genmf_solve(plan, f, v, shard=shard))
-        _solve_cache[key] = fn
+        cache[key] = fn
     return fn(fac, b)

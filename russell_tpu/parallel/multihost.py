@@ -18,8 +18,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from russell_tpu.sparse import factor as _factor
 
-_mh_fact_cache: dict = {}
-_mh_solve_cache: dict = {}
+
+def _plan_fns(plan) -> dict:
+    """Per-plan jit cache attached to the plan object (an id(plan)-keyed
+    module dict poisons a NEW plan when the GC recycles the id)."""
+    st = getattr(plan, "_par_fns", None)
+    if st is None:
+        st = plan._par_fns = {}
+    return st
+
+
+
+
 
 __all__ = ["initialize_multihost", "shard_banded_factorize",
            "shard_banded_solve"]
@@ -50,11 +60,12 @@ def shard_banded_factorize(mesh: Mesh, plan, data, axis: str = "rows"):
         raise ValueError("distributed factorization requires the BCR kernel "
                          "(analyze(..., banded_kernel='bcr'))")
     sh = _block_sharding(mesh, axis)
-    fn = _mh_fact_cache.get(id(plan))
+    cache = _plan_fns(plan)
+    fn = cache.get("mh_fact")
     if fn is None:
         fn = jax.jit(lambda d: _factor.numeric_factorize(plan, d),
                      out_shardings=None)
-        _mh_fact_cache[id(plan)] = fn
+        cache["mh_fact"] = fn
     with mesh:
         fac = fn(jnp.asarray(data))
     # place the level arrays on the mesh (block axis) for the solves
@@ -77,9 +88,10 @@ def shard_banded_factorize(mesh: Mesh, plan, data, axis: str = "rows"):
 
 
 def shard_banded_solve(mesh: Mesh, plan, fac, b, axis: str = "rows"):
-    fn = _mh_solve_cache.get(id(plan))
+    cache = _plan_fns(plan)
+    fn = cache.get("mh_solve")
     if fn is None:
         fn = jax.jit(lambda f, bb: _factor.factor_solve(plan, f, bb))
-        _mh_solve_cache[id(plan)] = fn
+        cache["mh_solve"] = fn
     with mesh:
         return fn(fac, b)

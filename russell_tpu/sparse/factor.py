@@ -767,7 +767,8 @@ def _numeric_factorize(plan: SolvePlan, data):
 # ("response body closed"); a rejected (plan, kind) is remembered and
 # the per-depth stepped drivers take over. RUSSELL_TPU_GENMF_WHOLE=0
 # forces stepped (skips the possibly-long failing compile attempt).
-_genmf_whole_cache: dict = {}
+# Jits/params live ON the plan object — an id(plan)-keyed module dict
+# would poison a new plan when the GC recycles the id.
 
 
 def _genmf_whole(plan: SolvePlan, kind: str, dtype):
@@ -775,8 +776,11 @@ def _genmf_whole(plan: SolvePlan, kind: str, dtype):
         return None              # complex runs as planes via the steps
     if not int(os.environ.get("RUSSELL_TPU_GENMF_WHOLE", "1")):
         return None
-    key = (id(plan), kind, str(dtype))
-    fn = _genmf_whole_cache.get(key)
+    cache = getattr(plan, "_genmf_whole_fns", None)
+    if cache is None:
+        cache = plan._genmf_whole_fns = {}
+    key = (kind, str(dtype))
+    fn = cache.get(key)
     if fn is False:
         return None
     if fn is None:
@@ -785,11 +789,11 @@ def _genmf_whole(plan: SolvePlan, kind: str, dtype):
         # constant: the literal-heavy one-graph form is rejected by the
         # remote server compiler at ~10^5 fronts (tens of MB of
         # constants), the argument form compiles
-        pd = _genmf_whole_cache.get((id(plan), "params"))
+        pd = cache.get("params")
         if pd is None:
-            pd = {k: jnp.asarray(v)
-                  for k, v in _genmf.whole_params(gplan).items()}
-            _genmf_whole_cache[(id(plan), "params")] = pd
+            pd = cache["params"] = {
+                k: jnp.asarray(v)
+                for k, v in _genmf.whole_params(gplan).items()}
         if kind == "fact":
             jf = jax.jit(lambda d, P: _genmf.genmf_factorize(
                 gplan, d, params=P))
@@ -798,13 +802,16 @@ def _genmf_whole(plan: SolvePlan, kind: str, dtype):
             jf = jax.jit(lambda cls, b, P: _genmf.genmf_solve(
                 gplan, {"classes": cls}, b, params=P))
             fn = lambda cls, b: jf(cls, b, pd)
-        _genmf_whole_cache[key] = fn
+        cache[key] = fn
     return fn
 
 
 def _genmf_whole_reject(plan: SolvePlan, kind: str, dtype, ex):
     import warnings
-    _genmf_whole_cache[(id(plan), kind, str(dtype))] = False
+    cache = getattr(plan, "_genmf_whole_fns", None)
+    if cache is None:
+        cache = plan._genmf_whole_fns = {}
+    cache[(kind, str(dtype))] = False
     warnings.warn(
         f"whole-program GENMF {kind} compile rejected by the backend "
         f"({type(ex).__name__}: {str(ex)[:300]}); falling back to "
@@ -888,18 +895,19 @@ def _factor_solve_pair_splu(plan: SolvePlan, fac_r, fac_c, b_r, b_c,
 # device-resident copies of the per-plan COO index arrays: the solve
 # path used to re-ship rows/cols (2 x 8 bytes x nnz, ~38 MB at n=10^6)
 # host->device on EVERY solve call — pure tunnel latency on the remote
-# TPU backend (VERDICT r3: solve latency 50-240x off the reference)
-_plan_idx_cache: dict = {}
+# TPU backend (VERDICT r3: solve latency 50-240x off the reference).
+# Cached ON the plan object (an id(plan)-keyed module dict poisons a
+# NEW plan when the garbage collector recycles the id).
 
 
 def _device_indices(plan: SolvePlan):
-    ent = _plan_idx_cache.get(id(plan))
+    ent = getattr(plan, "_dev_idx", None)
     if ent is None:
         ent = (jnp.asarray(plan.rows), jnp.asarray(plan.cols))
         if not isinstance(ent[0], jax.core.Tracer):
             # under a trace jnp.asarray yields trace-local constants —
             # caching those would leak tracers out of the transform
-            _plan_idx_cache[id(plan)] = ent
+            plan._dev_idx = ent
     return ent
 
 
@@ -927,6 +935,21 @@ def _denom_j(n, x, data, rb, rs, cs, rows, cols):
     u = x.astype(dtype) / cs.astype(dtype)
     return jax.ops.segment_sum(jnp.abs(data) * jnp.abs(u)[cols], rows,
                                num_segments=n) + jnp.abs(rb)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _bw_err_j(n, x, b, vals, rows, cols):
+    """Componentwise (Arioli-Demmel-Duff omega_1) backward error of the
+    UNSCALED system in ONE dispatch (LinSolver's per-solve escalation
+    check used to re-ship rows/cols and run ~6 eager ops — half the
+    warm-solve latency at n=10^5)."""
+    xj = x.astype(vals.dtype)
+    bj = b.astype(vals.dtype)
+    ax = jax.ops.segment_sum(vals * xj[cols], rows, num_segments=n)
+    denom = jax.ops.segment_sum(jnp.abs(vals) * jnp.abs(xj)[cols],
+                                rows, num_segments=n) + jnp.abs(bj)
+    tiny = jnp.finfo(jnp.zeros((), vals.dtype).real.dtype).tiny
+    return jnp.max(jnp.abs(bj - ax) / jnp.maximum(denom, tiny))
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -1181,7 +1204,11 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
         w = float(w0)
         resid = resid0
         k = 0
-        while k < max_steps and w > float(tol) and w < 0.9 * w_prev:
+        # continue only while each round at least HALVES w: with f32
+        # factors one healthy round contracts ~kappa*eps32 (orders of
+        # magnitude); sub-2x tail rounds cost a full solve+SpMV for a
+        # last fraction of a digit (2d_317: 8 rounds -> ~5)
+        while k < max_steps and w > float(tol) and w < 0.5 * w_prev:
             x = (x + _solve_once(plan, fac, resid)).astype(dtype)
             w_prev = w
             resid, w_dev = _resid_w(x, denom0)
@@ -1232,7 +1259,9 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
 
     def cond(c):
         _x, _r, w, w_prev, k = c
-        return (k < max_steps) & (w > tol) & (w < 0.9 * w_prev)
+        # sub-2x tail rounds are not worth a full solve+SpMV (see the
+        # eager loop above)
+        return (k < max_steps) & (w > tol) & (w < 0.5 * w_prev)
 
     def body(c):
         x, resid, w, _w_prev, k = c

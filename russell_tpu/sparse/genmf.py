@@ -739,6 +739,17 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None, params=None):
 _step_cache: Dict = {}
 
 
+def _plan_steps(plan) -> Dict:
+    """Per-plan jitted-step cache, attached to the plan object (an
+    id(plan)-keyed module dict would poison a NEW plan when the garbage
+    collector recycles the id — observed as shape TypeErrors when many
+    plans are created and dropped in one process)."""
+    st = getattr(plan, "_steps", None)
+    if st is None:
+        st = plan._steps = {}
+    return st
+
+
 def _depth_groups(plan: GenMfPlan, order=None):
     """Consecutive runs of equal-depth classes in processing order.
 
@@ -784,7 +795,7 @@ def genmf_factorize_steps(plan: GenMfPlan, data):
         return _genmf_factorize_steps_planes(plan, jnp.real(data),
                                              jnp.imag(data))
     rdt = data.dtype
-    steps = _step_cache.setdefault(("factg", id(plan), str(rdt)), {})
+    steps = _plan_steps(plan).setdefault(("factg", str(rdt)), {})
     uniq = _presum(plan, data)
     delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(rdt)
 
@@ -866,7 +877,7 @@ def _genmf_factorize_steps_planes(plan: GenMfPlan, dre, dim):
     dre = jnp.asarray(dre)
     dim = jnp.asarray(dim)
     rdt = dre.dtype
-    steps = _step_cache.setdefault(("factc", id(plan), str(rdt)), {})
+    steps = _plan_steps(plan).setdefault(("factc", str(rdt)), {})
     uniq_re = _presum(plan, dre)
     uniq_im = _presum(plan, dim)
     delta = (plan.pivot_epsilon
@@ -943,7 +954,7 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
     if first["sii"] is not None:
         return _genmf_solve_steps_planes(plan, fac, bvec)
     rdt = first["sir"].dtype
-    steps = _step_cache.setdefault(("solveg", id(plan), str(rdt)), {})
+    steps = _plan_steps(plan).setdefault(("solveg", str(rdt)), {})
     bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
                           jnp.zeros(1, rdt)])
 
@@ -1070,7 +1081,7 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
     Returns a DEVICE complex array built in-trace via lax.complex."""
     first = next(st for st in fac["classes"] if st["sir"] is not None)
     rdt = first["sir"].dtype
-    steps = _step_cache.setdefault(("solvec", id(plan), str(rdt)), {})
+    steps = _plan_steps(plan).setdefault(("solvec", str(rdt)), {})
     if isinstance(bvec, np.ndarray) and np.iscomplexobj(bvec):
         b_re = jnp.asarray(np.ascontiguousarray(bvec.real))
         b_im = jnp.asarray(np.ascontiguousarray(bvec.imag))

@@ -605,7 +605,7 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
     delta = jnp.asarray(plan.pivot_epsilon * (1.0 + float(
         np.max(np.abs(data_np)))), rdt)
 
-    steps = _ooc_fact_steps.setdefault((id(plan), str(rdt)), {})
+    steps = _plan_cache(plan, "ooc_fact").setdefault(str(rdt), {})
     store: List[Optional[dict]] = [None] * len(plan.levels)
     sch_re = None
     ld = 0.0
@@ -705,9 +705,17 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
             "n_perturbed": jnp.asarray(npc, jnp.int32)}
 
 
-# cached per-(plan, depth) jitted steps for the out-of-core paths
-_ooc_fact_steps: dict = {}
-_ooc_solve_steps: dict = {}
+# cached per-(plan, depth) jitted steps for the out-of-core paths —
+# attached to the plan object (an id(plan)-keyed module dict poisons a
+# NEW plan when the garbage collector recycles the id)
+
+
+def _plan_cache(plan, name: str) -> dict:
+    st = getattr(plan, "_" + name, None)
+    if st is None:
+        st = {}
+        setattr(plan, "_" + name, st)
+    return st
 
 
 def gridmf_solve_ooc(plan: GridMfPlan, fac, bvec):
@@ -718,7 +726,7 @@ def gridmf_solve_ooc(plan: GridMfPlan, fac, bvec):
     rdt = fac["levels"][-1]["sir"].dtype
     bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
                           jnp.zeros(1, rdt)])
-    steps = _ooc_solve_steps.setdefault((id(plan), str(rdt)), {})
+    steps = _plan_cache(plan, "ooc_solve").setdefault(str(rdt), {})
     D = len(plan.levels) - 1
 
     fe_st: List[Optional[jnp.ndarray]] = [None] * (D + 1)

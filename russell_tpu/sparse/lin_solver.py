@@ -370,19 +370,10 @@ class LinSolver:
         """Componentwise (Arioli-Demmel-Duff omega_1) backward error of
         the UNSCALED system — one SpMV pair, cheap relative to a solve."""
         plan = self.plan
-        rows = jnp.asarray(plan.rows)
-        cols = jnp.asarray(plan.cols)
-        vals = self._vals_full
-        xj = jnp.asarray(x).astype(vals.dtype)
-        bj = jnp.asarray(b).astype(vals.dtype)
-        ax = jax.ops.segment_sum(vals * xj[cols], rows,
-                                 num_segments=plan.n)
-        denom = jax.ops.segment_sum(jnp.abs(vals) * jnp.abs(xj)[cols],
-                                    rows, num_segments=plan.n) \
-            + jnp.abs(bj)
-        tiny = np.finfo(np.float64).tiny
-        return float(jnp.max(jnp.abs(bj - ax)
-                             / jnp.maximum(denom, tiny)))
+        rows, cols = _factor._device_indices(plan)
+        return float(_factor._bw_err_j(plan.n, jnp.asarray(x),
+                                       jnp.asarray(b), self._vals_full,
+                                       rows, cols))
 
     def _escalate_precision(self):
         """Refactorize at full input precision, keeping the resolved
