@@ -333,8 +333,10 @@ class LinSolver:
         if (getattr(self.plan, "mixed32", False)
                 and not getattr(self, "_escalated", False)):
             w = self._backward_error(x, rhs)
-            eps_in = float(np.finfo(np.asarray(
-                self._vals_full).real.dtype).eps)
+            # dtype only — np.asarray(device_array) would DOWNLOAD the
+            # full values array on every solve
+            eps_in = float(np.finfo(np.zeros(
+                0, self._vals_full.dtype).real.dtype).eps)
             if w > 1e4 * eps_in:
                 self._escalate_precision()
                 x = self._solve_fn(self.fac, rhs)
