@@ -205,12 +205,15 @@ class OdeSolver:
             from russell_tpu.ode.radau5_fused import build_fused_solver
             return build_fused_solver(self.actual, self.params,
                                       chunk=chunk, dense_x=dense_x)
-        if dense_x is not None:
-            raise ValueError("fused dense output requires Radau5")
+        if dense_x is not None and self.params.method not in (
+                Method.DOPRI5, Method.DOPRI8):
+            raise ValueError("fused dense output requires Radau5, DoPri5 "
+                             "or DoPri8")
         if (isinstance(self.actual, ExplicitRungeKutta)
                 and self.actual.info.embedded):
             from russell_tpu.ode.erk_fused import build_fused_erk_solver
-            return build_fused_erk_solver(self.actual, self.params)
+            return build_fused_erk_solver(self.actual, self.params,
+                                          dense_x=dense_x)
         raise ValueError("fused solve requires Radau5 or an embedded "
                          "explicit Runge-Kutta method")
 

@@ -563,3 +563,34 @@ def test_radau5_brusselator_pde_n9_matches_mathematica():
     s = npoint * npoint
     assert abs(y[m] - math["uu"][ij][ij]) < 1e-7
     assert abs(y[s + m] - math["vv"][ij][ij]) < 1e-7
+
+
+def test_erk_fused_dense_output_matches_host():
+    # VERDICT r3 item 8: dense stations through the fused DoPri5/DoPri8
+    # device loop must reproduce the host ErkDenseOut stream exactly —
+    # including DoPri8's +3 function evaluations per accepted step
+    from russell_tpu.ode import Output
+    for method in (Method.DOPRI5, Method.DOPRI8):
+        system, x0, y0, args, _ = samples.hairer_wanner_eq1()
+        params = Params(method)
+        params.step.h_ini = 1e-4
+        sol_host = OdeSolver(params, system)
+        out_host = Output().set_dense_h_out(0.23).set_dense_recording([0])
+        yh = sol_host.solve(y0, x0, 2.0, output=out_host)
+
+        ph = Params(method)
+        ph.step.h_ini = 1e-4
+        sol_fused = OdeSolver(ph, system)
+        out_fused = Output().set_dense_h_out(0.23).set_dense_recording([0])
+        yf = sol_fused.solve(y0, x0, 2.0, output=out_fused, fused=True)
+
+        sh, sf = sol_host.stats(), sol_fused.stats()
+        for k in ("n_function", "n_steps", "n_accepted", "n_rejected"):
+            assert getattr(sh, k) == getattr(sf, k), (method, k)
+        assert out_fused.dense_x() == out_host.dense_x()
+        # association-order noise only (fused folds (h*a)*k, host
+        # h*(sum a*k)): identical step sequence, identical counters
+        np.testing.assert_allclose(out_fused.dense_y(0),
+                                   out_host.dense_y(0),
+                                   rtol=0.0, atol=1e-10)
+        assert np.max(np.abs(np.asarray(yh) - np.asarray(yf))) < 1e-10
