@@ -772,8 +772,10 @@ def _numeric_factorize(plan: SolvePlan, data):
 
 
 def _genmf_whole(plan: SolvePlan, kind: str, dtype):
-    if jnp.issubdtype(dtype, jnp.complexfloating):
-        return None              # complex runs as planes via the steps
+    # complex is fine here: the eager driver's data/rhs are already
+    # DEVICE-resident, so complex jit arguments never cross the
+    # host<->device transfer layer (the unimplemented-on-axon case),
+    # and genmf_factorize/solve lower complex to real planes in-trace
     if not int(os.environ.get("RUSSELL_TPU_GENMF_WHOLE", "1")):
         return None
     cache = getattr(plan, "_genmf_whole_fns", None)

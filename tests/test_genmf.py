@@ -301,9 +301,10 @@ def test_genmf_whole_program_fallback_bookkeeping():
     plan = _factor.analyze(n, ii, jj, genie=Genie.GENMF)
     assert _factor._genmf_whole(plan, "fact", np.dtype(np.float32)) \
         is not None
-    # complex stays on the planes-based stepped drivers
+    # complex gets its own whole-program jit (planes in-trace; device
+    # arguments never cross the transfer layer)
     assert _factor._genmf_whole(plan, "fact",
-                                np.dtype(np.complex64)) is None
+                                np.dtype(np.complex64)) is not None
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         _factor._genmf_whole_reject(plan, "fact", np.dtype(np.float32),
