@@ -655,7 +655,7 @@ def _mm_prec(plan: SolvePlan, which: str = "factorize"):
     return jax.default_matmul_precision(p)
 
 
-def numeric_factorize(plan: SolvePlan, data):
+def numeric_factorize(plan: SolvePlan, data, params=None):
     """Numeric factorization of the entry values ``data`` laid out as
     (plan.rows, plan.cols). Jittable for a fixed plan.
 
@@ -686,7 +686,7 @@ def numeric_factorize(plan: SolvePlan, data):
         return fac
 
 
-def _numeric_factorize(plan: SolvePlan, data):
+def _numeric_factorize(plan: SolvePlan, data, params=None):
     if isinstance(data, np.ndarray) and np.iscomplexobj(data):
         # plane shipping (see as_device); under mixed precision the
         # planes downcast to f32 FIRST — building an intermediate
@@ -729,7 +729,8 @@ def _numeric_factorize(plan: SolvePlan, data):
         else:
             fac = _gridmf.gridmf_factorize(
                 plan.gridmf_plan,
-                data.astype(_factor_dtype(plan, data.dtype)))
+                data.astype(_factor_dtype(plan, data.dtype)),
+                params=params)
         fac["rs"] = rs
         fac["cs"] = cs
         fac["data"] = data
@@ -962,7 +963,7 @@ def _matvec_j(n, v, data, rs, cs, rows, cols):
                                num_segments=n) / rs.astype(dtype)
 
 
-def _solve_once(plan: SolvePlan, fac, b):
+def _solve_once(plan: SolvePlan, fac, b, params=None):
     if plan.genie == Genie.DENSE:
         return _dense_solve(plan, fac, b)
     if plan.genie == Genie.SPLU:
@@ -977,7 +978,8 @@ def _solve_once(plan: SolvePlan, fac, b):
                                           np.ndarray):
             x = _gridmf.gridmf_solve_ooc(plan.gridmf_plan, fac, y)
         else:
-            x = _gridmf.gridmf_solve(plan.gridmf_plan, fac, y)
+            x = _gridmf.gridmf_solve(plan.gridmf_plan, fac, y,
+                                     params=params)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
     if plan.genie == Genie.GENMF:
         out_dtype = fac["data"].dtype
@@ -1000,7 +1002,8 @@ def _solve_once(plan: SolvePlan, fac, b):
     return _banded_solve(plan, fac, b)
 
 
-def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
+def factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
+                 params=None):
     """Solve A x = b from a numeric factorization, with ``plan.refine_steps``
     rounds of iterative refinement against the scaled matrix. Jittable.
 
@@ -1010,10 +1013,11 @@ def factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
     plan's default (e.g. Radau5 uses 1 round for its inner Newton solves
     — Newton tolerates inexact corrections)."""
     with _mm_prec(plan, "solve"):
-        return _factor_solve(plan, fac, b, refine_steps)
+        return _factor_solve(plan, fac, b, refine_steps, params)
 
 
-def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
+def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
+                  params=None):
     adaptive = refine_steps is None and plan.mixed32
     if refine_steps is None:
         refine_steps = plan.refine_steps
@@ -1026,7 +1030,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
         b = jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
     else:
         b = jnp.asarray(b)
-    x = _solve_once(plan, fac, b)
+    x = _solve_once(plan, fac, b, params)
     if refine_steps <= 0 and not adaptive:
         return x
     x = x.astype(fac["data"].dtype)
@@ -1059,7 +1063,8 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             u = x / cs.astype(dtype)
             ax = jax.ops.segment_sum(data * u[cols], rows,
                                      num_segments=plan.n)
-            x = x + _solve_once(plan, fac, (rb - ax) / rs.astype(dtype))
+            x = x + _solve_once(plan, fac, (rb - ax) / rs.astype(dtype),
+                                params)
         return x
 
     # adaptive refinement (default path under mixed precision), two tiers
@@ -1119,9 +1124,9 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             """M^-1 v with ONE inner refinement round: squares the
             preconditioner quality (||I - M^-1 A|| 0.12 -> 0.014
             measured on laplacian_2d_1000)."""
-            z = _solve_once(plan, fac, v).astype(dtype)
+            z = _solve_once(plan, fac, v, params).astype(dtype)
             r2 = v - matvec(z)
-            return z + _solve_once(plan, fac, r2).astype(dtype)
+            return z + _solve_once(plan, fac, r2, params).astype(dtype)
 
         zero = jnp.zeros((), dtype)
         R = [[zero] * m_krylov for _ in range(m_krylov)]  # upper tri
@@ -1211,13 +1216,13 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
         # magnitude); sub-2x tail rounds cost a full solve+SpMV for a
         # last fraction of a digit (2d_317: 8 rounds -> ~5)
         while k < max_steps and w > float(tol) and w < 0.5 * w_prev:
-            x = (x + _solve_once(plan, fac, resid)).astype(dtype)
+            x = (x + _solve_once(plan, fac, resid, params)).astype(dtype)
             w_prev = w
             resid, w_dev = _resid_w(x, denom0)
             w = float(w_dev)
             k += 1
         if use_cg and w > float(w_accept):
-            z = _solve_once(plan, fac, resid).astype(dtype)
+            z = _solve_once(plan, fac, resid, params).astype(dtype)
             p = z
             rz = jnp.vdot(resid, z)
             x_best, w_best = x, w
@@ -1243,7 +1248,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
                 if (w_best <= float(w_accept) or w > 1e3 * w_best
                         or stall >= 4):
                     break
-                z2 = _solve_once(plan, fac, resid).astype(dtype)
+                z2 = _solve_once(plan, fac, resid, params).astype(dtype)
                 beta = jnp.vdot(resid, z2 - z) / rz
                 rz = jnp.vdot(resid, z2)
                 p = z2 + beta * p
@@ -1267,7 +1272,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
 
     def body(c):
         x, resid, w, _w_prev, k = c
-        x = (x + _solve_once(plan, fac, resid)).astype(dtype)
+        x = (x + _solve_once(plan, fac, resid, params)).astype(dtype)
         resid2, w2 = _resid_w(x, denom0)
         return (x, resid2, w2, w, k + 1)
 
@@ -1290,7 +1295,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
             alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
             x2 = (x + alpha * p).astype(dtype)
             r2, w2 = _resid_w(x2, denom0)  # true residual, no recurrence drift
-            z2 = _solve_once(plan, fac, r2).astype(dtype)
+            z2 = _solve_once(plan, fac, r2, params).astype(dtype)
             beta = jnp.where(ok, jnp.vdot(r2, z2 - z)
                              / jnp.where(ok, rz, 1.0), 0.0)
             rz2 = jnp.vdot(r2, z2)
@@ -1308,7 +1313,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None):
 
         def _run_cg(arg):
             x, resid, w = arg
-            z0 = _solve_once(plan, fac, resid).astype(dtype)
+            z0 = _solve_once(plan, fac, resid, params).astype(dtype)
             st = (x, x, resid, z0, z0, jnp.vdot(resid, z0), w, w,
                   jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
             out = lax.while_loop(cg_cond, cg_body, st)

@@ -370,27 +370,65 @@ def gridmf_analyze(n: int, rows, cols, grid,
 # ---------------------------------------------------------------------------
 
 
-def _presum(plan: GridMfPlan, data):
+def _mk_P(params):
+    """Index-array accessor: embedded constants (params=None) or traced
+    ARGUMENTS from gridmf_whole_params() — embedding every index vector
+    as a literal pushes the one-graph program past what the remote
+    server compiler accepts at ~10^5-10^6 rows (entry permutation alone
+    is ~50 MB at 79^3: observed as a silent >1 h compile / 'response
+    body closed'). Same size-gated pattern as genmf._mk_P."""
+    if params is None:
+        return lambda key, build: jnp.asarray(build())
+
+    def P(key, build):
+        v = params.get(key)
+        return jnp.asarray(build()) if v is None else v
+    return P
+
+
+def _presum(plan: GridMfPlan, data, params=None):
     """One gather + one sorted segment-sum: duplicate entries (and
     symmetric-storage expansions) collapse onto their unique front
     positions."""
-    d = data[jnp.asarray(plan.entry_perm)]
-    return jax.ops.segment_sum(d, jnp.asarray(plan.entry_seg),
+    P = _mk_P(params)
+    d = data[P("eperm", lambda: plan.entry_perm)]
+    return jax.ops.segment_sum(d, P("eseg", lambda: plan.entry_seg),
                                num_segments=plan.n_uniq,
                                indices_are_sorted=True)
 
 
-def _assemble(lv: _Level, uniq, dtype, ghost=True):
+def _assemble(lv: _Level, uniq, dtype, ghost=True, params=None, di=None):
+    P = _mk_P(params)
     F = lv.F
     flat = jnp.zeros(lv.n_nodes * F * F, dtype=dtype)
     if ghost and len(lv.ghost_diag):
         # ghost pivot slots get a REAL unit diagonal (imag plane stays
         # zero), so each contributes exactly 0 to log|det|
-        flat = flat.at[jnp.asarray(lv.ghost_diag)].add(1.0)
+        flat = flat.at[P(f"gd{di}", lambda: lv.ghost_diag)].add(1.0)
     if lv.asm_len:
         vals = jax.lax.dynamic_slice(uniq, (lv.asm_off,), (lv.asm_len,))
-        flat = flat.at[jnp.asarray(lv.asm_idx)].add(vals.astype(dtype))
+        flat = flat.at[P(f"asm{di}", lambda: lv.asm_idx)].add(
+            vals.astype(dtype))
     return flat.reshape(lv.n_nodes, F, F)
+
+
+def gridmf_whole_params(plan: GridMfPlan, min_elems: int = 65536) -> dict:
+    """Host pytree of the LARGE index arrays the jitted factorize/solve
+    graphs take as ARGUMENTS (see _mk_P); smaller vectors stay jaxpr
+    constants (constant-index gathers compile to faster device code)."""
+    out = {}
+
+    def put(key, arr):
+        if arr is not None and np.asarray(arr).size >= min_elems:
+            out[key] = np.asarray(arr)
+
+    put("eperm", plan.entry_perm)
+    put("eseg", plan.entry_seg)
+    for di, lv in enumerate(plan.levels):
+        put(f"gd{di}", lv.ghost_diag)
+        put(f"asm{di}", lv.asm_idx)
+        put(f"ev{di}", lv.elim_var)
+    return out
 
 
 def _inv_embed(parent_F: int, child: _Level, side: int, pad: int):
@@ -490,7 +528,7 @@ def _inv_planes(Sr, Si, delta):
             jnp.min(mp), jnp.sum(npc), jnp.ones((), Sr.dtype))
 
 
-def gridmf_factorize(plan: GridMfPlan, data, shard=None):
+def gridmf_factorize(plan: GridMfPlan, data, shard=None, params=None):
     """Batched multifrontal factorization; jittable for a fixed plan.
     Returns a fac pytree with per-depth {Sinv, Lhat, B} (planes) plus
     logdet/phase/min_pivot/n_perturbed (SPLU-compatible surface).
@@ -507,10 +545,10 @@ def gridmf_factorize(plan: GridMfPlan, data, shard=None):
     cplx = jnp.iscomplexobj(data)
     rdt = jnp.real(data).dtype
     if cplx:
-        uniq_re = _presum(plan, jnp.real(data))
-        uniq_im = _presum(plan, jnp.imag(data))
+        uniq_re = _presum(plan, jnp.real(data), params)
+        uniq_im = _presum(plan, jnp.imag(data), params)
     else:
-        uniq_re = _presum(plan, data)
+        uniq_re = _presum(plan, data, params)
         uniq_im = None
     delta = (plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data)))).astype(rdt)
 
@@ -522,9 +560,9 @@ def gridmf_factorize(plan: GridMfPlan, data, shard=None):
     ph = jnp.ones((), rdt)
     for d in range(len(plan.levels) - 1, -1, -1):
         lv = plan.levels[d]
-        fr = shard(_assemble(lv, uniq_re, rdt))
-        fi = shard(_assemble(lv, uniq_im, rdt, ghost=False)) if cplx \
-            else None
+        fr = shard(_assemble(lv, uniq_re, rdt, params=params, di=d))
+        fi = shard(_assemble(lv, uniq_im, rdt, ghost=False,
+                             params=params, di=d)) if cplx else None
         if sch_re is not None:
             tr, ti = _embed_mat(lv, plan.levels[d + 1], sch_re, sch_im)
             fr = fr + shard(tr)
@@ -786,12 +824,14 @@ def gridmf_solve_ooc(plan: GridMfPlan, fac, bvec):
     return x[:plan.n]
 
 
-def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None):
+def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None, params=None):
     """x = A^{-1} b through the stored fronts: up-sweep (forward
     elimination of the rhs) then down-sweep (back-substitution), all
-    batched einsums. Jittable. ``shard``: see gridmf_factorize."""
+    batched einsums. Jittable. ``shard``/``params``: see
+    gridmf_factorize."""
     if shard is None:
         shard = lambda a: a
+    P = _mk_P(params)
     # complexness is part of the pytree STRUCTURE (None leaves), so the
     # fac stays usable across jit boundaries (no traced-bool branching)
     cplx = fac["levels"][-1]["sii"] is not None
@@ -828,7 +868,7 @@ def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None):
             fr = fr + tr
             if cplx:
                 fi = fi + ti
-        ev = jnp.asarray(lv.elim_var)
+        ev = P(f"ev{d}", lambda: lv.elim_var)
         fr = fr.at[:, :e].add(bp_re[ev])
         if cplx:
             fi = fi.at[:, :e].add(bp_im[ev])

@@ -211,6 +211,21 @@ class LinSolver:
                 # whole host store into HBM on every solve)
                 self._fact_fn = lambda d: _factor.numeric_factorize(plan, d)
                 self._solve_fn = lambda f, b: _factor.factor_solve(plan, f, b)
+            elif plan.gridmf_plan is not None:
+                # big index vectors ride as jit ARGUMENTS, not jaxpr
+                # constants: the literal-heavy graph stalls the remote
+                # server compiler at ~10^5-10^6 rows (3d_79 timed out
+                # compiling; entry permutation alone is ~50 MB there)
+                from russell_tpu.sparse import gridmf as _gridmf_mod
+                pd = {k: jnp.asarray(v) for k, v in
+                      _gridmf_mod.gridmf_whole_params(
+                          plan.gridmf_plan).items()}
+                fact_j = jax.jit(lambda d, P: _factor.numeric_factorize(
+                    plan, d, params=P))
+                solve_j = jax.jit(lambda f, b, P: _factor.factor_solve(
+                    plan, f, b, params=P))
+                self._fact_fn = lambda d: fact_j(d, pd)
+                self._solve_fn = lambda f, b: solve_j(f, b, pd)
             else:
                 self._fact_fn = jax.jit(lambda d: _factor.numeric_factorize(plan, d))
                 self._solve_fn = jax.jit(lambda f, b: _factor.factor_solve(plan, f, b))
