@@ -39,13 +39,36 @@ import time
 ROOT = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, ROOT)
 
-# measured wall-cost per rung on the attached TPU (cold compile + 2
-# solves + interpreter/backend startup), padded ~20%:
+# default wall-cost estimates per rung on the attached TPU (cold
+# compile + 2 solves + interpreter/backend startup), padded ~20%:
 #   129 -> measured 2026-08-20: 445 s cold + 2x4.9 s warm;
-#   257 -> estimated from compile scaling;
+#   257 -> measured 2026-08-20 driver run: ~470 s;
 #   513 -> 2026-08-19 measurement: 1923 s cold + 2x86 s warm
+# The ladder LEARNS: each completed rung's measured wall is persisted
+# in HISTORY_PATH and replaces these priors on the next run (VERDICT r4
+# item 5 — a cached-compile 513 costs ~4 min, not ~42, and the ladder
+# should escalate whenever the *measured* remainder fits).
 RUNGS = [(129, 560.0), (257, 1500.0), (513, 2500.0)]
 MARGIN_S = 75.0  # parent bookkeeping + JSON print headroom
+HISTORY_PATH = os.path.join(ROOT, "data", "benchmarks",
+                            "bench_rung_history.json")
+
+
+def _load_history() -> dict:
+    try:
+        with open(HISTORY_PATH) as fh:
+            return json.load(fh)
+    except Exception:  # noqa: BLE001 — missing/corrupt history = priors
+        return {}
+
+
+def _save_history(hist: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(HISTORY_PATH), exist_ok=True)
+        with open(HISTORY_PATH, "w") as fh:
+            json.dump(hist, fh, indent=1)
+    except Exception:  # noqa: BLE001 — history is best-effort
+        pass
 
 
 def _fail_line(tag: str) -> dict:
@@ -175,24 +198,43 @@ def main() -> None:
         return
 
     forced = os.environ.get("BENCH_NPOINT")
+    hist = _load_history()
     if forced:
         rungs = [(int(forced), budget)]
     else:
-        rungs = RUNGS
+        # measured history replaces the hardcoded priors: a rung that
+        # completed before (programs in .jax_cache / server cache) costs
+        # its measured wall, not the cold estimate
+        rungs = [(np_, float(hist.get(str(np_), {}).get(
+            "wall_total_s", est)) * 1.3) for np_, est in RUNGS]
+    stop_reason = "all_rungs_done"
     for npoint, est in rungs:
         remaining = deadline - time.time() - MARGIN_S
         if remaining <= 0:
+            stop_reason = f"budget_exhausted_before_{npoint}"
             break
         # always attempt the first (smallest) rung; escalate only when
-        # the measured cost of the bigger rung fits what's left
+        # the expected cost of the bigger rung fits what's left
         if best is not None and est > remaining:
+            stop_reason = (f"rung_{npoint}_needs_{est:.0f}s_"
+                           f"have_{remaining:.0f}s")
             break
-        rec = _try_rung(npoint, min(est * 1.25, remaining))
+        t0 = time.time()
+        rec = _try_rung(npoint, min(max(est * 1.25, 120.0), remaining))
         if rec is not None:
             best = rec
+            hist[str(npoint)] = {
+                "wall_total_s": round(time.time() - t0, 1),
+                "warm_s": rec.get("value"),
+                "date": time.strftime("%Y-%m-%d"),
+            }
+            _save_history(hist)
         elif best is not None:
+            stop_reason = f"rung_{npoint}_failed_kept_banked"
             break  # escalation failed; keep the banked result
 
+    if best is not None:
+        best["ladder"] = stop_reason
     print(json.dumps(best if best is not None else
                      _fail_line("no_rung_completed")))
 

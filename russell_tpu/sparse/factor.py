@@ -28,7 +28,9 @@ whole pipeline stays jittable (no mid-trace exceptions).
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Optional
@@ -772,6 +774,43 @@ def _numeric_factorize(plan: SolvePlan, data, params=None):
 # would poison a new plan when the GC recycles the id.
 
 
+def _genmf_probe_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache",
+        "genmf_whole_probe.json")
+
+
+def _genmf_probe_key(plan: SolvePlan, kind: str, dtype) -> str:
+    gp = plan.genmf_plan
+    return (f"{jax.default_backend()}:{kind}:{dtype}:n{plan.n}"
+            f":c{len(gp.classes)}:u{gp.n_uniq}")
+
+
+def _genmf_probe_load() -> dict:
+    try:
+        with open(_genmf_probe_path()) as fh:
+            return json.load(fh)
+    except Exception:  # noqa: BLE001 — missing/corrupt = empty
+        return {}
+
+
+def _genmf_probe_record(key: str, verdict: str, detail: str = "") -> None:
+    """Persist a whole-program compile verdict across PROCESSES: a
+    rejected (plan, kind, dtype) costs ~5 min of doomed server compile
+    before SIGKILL (VERDICT r4 item 10) — production runs must never
+    pay it twice."""
+    try:
+        path = _genmf_probe_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        d = _genmf_probe_load()
+        d[key] = {"verdict": verdict, "detail": detail[:200],
+                  "date": time.strftime("%Y-%m-%d")}
+        with open(path, "w") as fh:
+            json.dump(d, fh, indent=1)
+    except Exception:  # noqa: BLE001 — cache is best-effort
+        pass
+
+
 def _genmf_whole(plan: SolvePlan, kind: str, dtype):
     # complex is fine here: the eager driver's data/rhs are already
     # DEVICE-resident, so complex jit arguments never cross the
@@ -786,6 +825,11 @@ def _genmf_whole(plan: SolvePlan, kind: str, dtype):
     fn = cache.get(key)
     if fn is False:
         return None
+    if fn is None:
+        rec = _genmf_probe_load().get(_genmf_probe_key(plan, kind, dtype))
+        if rec is not None and rec.get("verdict") == "rejected":
+            cache[key] = False
+            return None
     if fn is None:
         gplan = plan.genmf_plan
         # every index vector rides as an ARGUMENT pytree, not a jaxpr
@@ -815,6 +859,8 @@ def _genmf_whole_reject(plan: SolvePlan, kind: str, dtype, ex):
     if cache is None:
         cache = plan._genmf_whole_fns = {}
     cache[(kind, str(dtype))] = False
+    _genmf_probe_record(_genmf_probe_key(plan, kind, dtype), "rejected",
+                        f"{type(ex).__name__}: {str(ex)[:150]}")
     warnings.warn(
         f"whole-program GENMF {kind} compile rejected by the backend "
         f"({type(ex).__name__}: {str(ex)[:300]}); falling back to "

@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 
 from russell_tpu.sparse.splu import _inv_block
-from russell_tpu.sparse.gridmf import _mm, _inv_planes
+from russell_tpu.sparse.gridmf import _mm, _inv_planes, _idx32
 
 __all__ = ["GenMfPlan", "genmf_analyze", "genmf_factorize", "genmf_solve",
            "genmf_factorize_steps", "genmf_solve_steps"]
@@ -445,11 +445,11 @@ def _mk_P(params):
     arguments — a key absent from the pytree falls back to the
     constant form."""
     if params is None:
-        return lambda key, build: jnp.asarray(build())
+        return lambda key, build: jnp.asarray(_idx32(build()))
 
     def P(key, build):
         v = params.get(key)
-        return jnp.asarray(build()) if v is None else v
+        return jnp.asarray(_idx32(build())) if v is None else v
     return P
 
 
@@ -486,7 +486,7 @@ def _gather_schur(link: _GLink, S, idx=None):
     # the FLAT index is host-precomputed: a jaxpr constant in the
     # stepped form, a traced input in the whole-program form
     if idx is None:
-        idx = jnp.asarray(_schur_idx(link, S.shape[-1]))
+        idx = jnp.asarray(_idx32(_schur_idx(link, S.shape[-1])))
     return Spad[idx].reshape(m, Fp, Fp)
 
 
@@ -499,7 +499,7 @@ def _gather_vec(link: _GLink, v, idx=None):
     m, Fp = link.inv.shape
     vpad = jnp.pad(v, ((0, 0), (0, 1))).reshape(-1)
     if idx is None:
-        idx = jnp.asarray(_vec_idx(link, v.shape[-1]))
+        idx = jnp.asarray(_idx32(_vec_idx(link, v.shape[-1])))
     return vpad[idx].reshape(m, Fp)
 
 
@@ -516,7 +516,7 @@ def whole_params(plan: GenMfPlan, min_elems: int = 65536) -> dict:
 
     def put(key, arr):
         if arr.size >= min_elems:
-            out[key] = arr
+            out[key] = _idx32(arr)
 
     put("eperm", plan.entry_perm)
     put("eseg", plan.entry_seg)
@@ -826,8 +826,8 @@ def genmf_factorize_steps(plan: GenMfPlan, data):
                             g = jax.lax.optimization_barrier(
                                 _gather_schur(link, schur_srcs[ofs]))
                             ofs += 1
-                            fr = fr.at[jnp.asarray(
-                                link.parent_slot)].add(g)
+                            fr = fr.at[jnp.asarray(_idx32(
+                                link.parent_slot))].add(g)
                         e = c.e
                         SIr, _, ld_d, mp_d, np_d, ph_d = _inv_planes(
                             fr[:, :e, :e], None, delta)
@@ -897,7 +897,7 @@ def _genmf_factorize_steps_planes(plan: GenMfPlan, dre, dim):
                     fr = _assemble(c, uniq_re, rdt)
                     fi = _assemble(c, uniq_im, rdt, ghost=False)
                     for k, link in enumerate(c.links):
-                        ps = jnp.asarray(link.parent_slot)
+                        ps = jnp.asarray(_idx32(link.parent_slot))
                         # optimization_barrier: see genmf_solve_steps —
                         # keeps the gathers out of fusions the server
                         # compiler aborts on (kSublaneGather check)
@@ -982,10 +982,11 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                             g = jax.lax.optimization_barrier(
                                 _gather_vec(link, srcs[ofs]))
                             ofs += 1
-                            fr = fr.at[jnp.asarray(
-                                link.parent_slot)].add(g)
+                            fr = fr.at[jnp.asarray(_idx32(
+                                link.parent_slot))].add(g)
                         e = c.e
-                        ev_flat = jnp.asarray(c.elim_var.reshape(-1))
+                        ev_flat = jnp.asarray(_idx32(
+                            c.elim_var.reshape(-1)))
                         gb = jax.lax.optimization_barrier(
                             bp[ev_flat].reshape(c.n_nodes, e))
                         fr = fr.at[:, :e].add(gb)
@@ -1030,7 +1031,7 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                             rr = fer
                         xer, _ = _mm(sir, None, rr[:, :, None], None)
                         xer = xer[:, :, 0]
-                        ev = jnp.asarray(c.elim_var)
+                        ev = jnp.asarray(_idx32(c.elim_var))
                         x = x.at[ev.reshape(-1)].set(xer.reshape(-1),
                                                      mode="drop")
                         if c.links:
@@ -1041,9 +1042,9 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                             F1 = xf.shape[-1]
                             for link in c.links:
                                 m_l, r_l = link.fwd.shape
-                                flat_idx = jnp.asarray(
+                                flat_idx = jnp.asarray(_idx32(
                                     (link.parent_slot[:, None] * F1
-                                     + link.fwd).reshape(-1))
+                                     + link.fwd).reshape(-1)))
                                 outs.append(jax.lax.optimization_barrier(
                                     xf_flat[flat_idx].reshape(m_l, r_l)))
                     return (x, *outs)
@@ -1067,8 +1068,8 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                 tgt = xk.get(link.src)
                 if tgt is None:
                     tgt = jnp.zeros((src.n_nodes, src.r), rdt)
-                xk[link.src] = tgt.at[jnp.asarray(
-                    link.child_slot)].set(rest[ofs])
+                xk[link.src] = tgt.at[jnp.asarray(_idx32(
+                    link.child_slot))].set(rest[ofs])
                 ofs += 1
     return x[:plan.n]
 
@@ -1103,7 +1104,7 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
                     fr = jnp.zeros((c.n_nodes, c.F), rdt)
                     fi = jnp.zeros((c.n_nodes, c.F), rdt)
                     for k, link in enumerate(c.links):
-                        ps = jnp.asarray(link.parent_slot)
+                        ps = jnp.asarray(_idx32(link.parent_slot))
                         gr = jax.lax.optimization_barrier(
                             _gather_vec(link, fk_srcs[2 * k]))
                         gi = jax.lax.optimization_barrier(
@@ -1111,7 +1112,8 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
                         fr = fr.at[ps].add(gr)
                         fi = fi.at[ps].add(gi)
                     e = c.e
-                    ev_flat = jnp.asarray(c.elim_var.reshape(-1))
+                    ev_flat = jnp.asarray(_idx32(
+                        c.elim_var.reshape(-1)))
                     gbr = jax.lax.optimization_barrier(
                         bp_re[ev_flat].reshape(c.n_nodes, e))
                     gbi = jax.lax.optimization_barrier(
@@ -1160,7 +1162,7 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
                     xer, xei = _mm(sir, sii, rr[:, :, None],
                                    ri[:, :, None])
                     xer, xei = xer[:, :, 0], xei[:, :, 0]
-                    ev = jnp.asarray(c.elim_var)
+                    ev = jnp.asarray(_idx32(c.elim_var))
                     x_re = x_re.at[ev.reshape(-1)].set(
                         xer.reshape(-1), mode="drop")
                     x_im = x_im.at[ev.reshape(-1)].set(
@@ -1176,9 +1178,9 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
                         outs = []
                         for link in c.links:
                             m_l, r_l = link.fwd.shape
-                            flat_idx = jnp.asarray(
+                            flat_idx = jnp.asarray(_idx32(
                                 (link.parent_slot[:, None] * F1
-                                 + link.fwd).reshape(-1))
+                                 + link.fwd).reshape(-1)))
                             outs.append(jax.lax.optimization_barrier(
                                 xfr_flat[flat_idx].reshape(m_l, r_l)))
                             outs.append(jax.lax.optimization_barrier(
@@ -1201,7 +1203,7 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
         rest = out[2:]
         for k, link in enumerate(c.links):
             src = plan.classes[link.src]
-            cs = jnp.asarray(link.child_slot)
+            cs = jnp.asarray(_idx32(link.child_slot))
             tr = xk_re.get(link.src)
             ti = xk_im.get(link.src)
             if tr is None:

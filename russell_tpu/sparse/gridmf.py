@@ -63,6 +63,20 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
+def _idx32(a):
+    """Pin index arrays to int32 before jnp.asarray: under x64 the
+    default materialization is int64, which doubles the constant bytes
+    of every compiled program (enough to crash or multi-hour-stall the
+    remote server compiler on large plans) and cache-misses against
+    non-x64 compiles of the same kernels. Downcast only when the index
+    space fits int32."""
+    a = np.asarray(a)
+    if (a.dtype.kind in "iu" and a.dtype != np.int32
+            and (a.size == 0 or int(a.max()) < 2 ** 31)):
+        return a.astype(np.int32)
+    return a
+
 from russell_tpu.sparse.splu import _inv_block
 
 __all__ = ["GridMfPlan", "gridmf_analyze", "gridmf_factorize",
@@ -378,11 +392,11 @@ def _mk_P(params):
     is ~50 MB at 79^3: observed as a silent >1 h compile / 'response
     body closed'). Same size-gated pattern as genmf._mk_P."""
     if params is None:
-        return lambda key, build: jnp.asarray(build())
+        return lambda key, build: jnp.asarray(_idx32(build()))
 
     def P(key, build):
         v = params.get(key)
-        return jnp.asarray(build()) if v is None else v
+        return jnp.asarray(_idx32(build())) if v is None else v
     return P
 
 
@@ -455,7 +469,8 @@ def _embed_mat(parent: _Level, child: _Level, schur_re, schur_im):
         Sp = S.reshape(n2, 2, r, r)
         acc = 0
         for side in (0, 1):
-            inv = jnp.asarray(_inv_embed(parent.F, child, side, r))
+            inv = jnp.asarray(_idx32(_inv_embed(parent.F, child,
+                                                 side, r)))
             Spad = jnp.pad(Sp[:, side], ((0, 0), (0, 1), (0, 1)))
             acc = acc + Spad[:, inv][:, :, inv]
         outs.append(acc)
@@ -473,7 +488,8 @@ def _embed_vec(parent: _Level, child: _Level, fk_re, fk_im):
         vp = v.reshape(n2, 2, r)
         acc = 0
         for side in (0, 1):
-            inv = jnp.asarray(_inv_embed(parent.F, child, side, r))
+            inv = jnp.asarray(_idx32(_inv_embed(parent.F, child,
+                                                 side, r)))
             vpad = jnp.pad(vp[:, side], ((0, 0), (0, 1)))
             acc = acc + vpad[:, inv]
         outs.append(acc)
@@ -492,7 +508,7 @@ def _restrict_vec(lv: _Level, xf_re, xf_im):
             m = lv.emb[side].copy()
             m[m < 0] = xf.shape[-1]                    # ghost -> zero pad
             xpad = jnp.pad(xf, ((0, 0), (0, 1)))
-            parts.append(xpad[:, jnp.asarray(m)])
+            parts.append(xpad[:, jnp.asarray(_idx32(m))])
         outs.append(jnp.stack(parts, axis=1).reshape(-1, lv.emb.shape[1]))
     return outs
 
@@ -783,7 +799,8 @@ def gridmf_solve_ooc(plan: GridMfPlan, fac, bvec):
                                            None)
                         fr = fr + tr
                     e = lv.e
-                    fr = fr.at[:, :e].add(bp[jnp.asarray(lv.elim_var)])
+                    fr = fr.at[:, :e].add(bp[jnp.asarray(_idx32(
+                        lv.elim_var))])
                     fer = fr[:, :e]
                     ur, _ = _mm(lr, None, fer[:, :, None], None)
                     return fer, fr[:, e:] - ur[:, :, 0]
@@ -812,7 +829,7 @@ def gridmf_solve_ooc(plan: GridMfPlan, fac, bvec):
                     rr = fer - br_[:, :, 0]
                     xer, _ = _mm(sir, None, rr[:, :, None], None)
                     xer = xer[:, :, 0]
-                    ev = jnp.asarray(lv.elim_var)
+                    ev = jnp.asarray(_idx32(lv.elim_var))
                     x = x.at[ev.reshape(-1)].set(xer.reshape(-1),
                                                  mode="drop")
                     return x, jnp.concatenate([xer, xk], axis=1)
@@ -902,7 +919,7 @@ def gridmf_solve(plan: GridMfPlan, fac, bvec, shard=None, params=None):
                        rr[:, :, None], ri[:, :, None] if cplx else None)
         xer = xer[:, :, 0]
         xei = xei[:, :, 0] if cplx else None
-        ev = jnp.asarray(lv.elim_var)
+        ev = jnp.asarray(_idx32(lv.elim_var))
         x_re = x_re.at[ev.reshape(-1)].set(xer.reshape(-1), mode="drop")
         if cplx:
             x_im = x_im.at[ev.reshape(-1)].set(xei.reshape(-1),

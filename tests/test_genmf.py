@@ -322,3 +322,29 @@ def test_genmf_whole_program_fallback_bookkeeping():
                                     np.dtype(np.float64)) is None
     finally:
         del os.environ["RUSSELL_TPU_GENMF_WHOLE"]
+
+
+def test_whole_program_probe_cache(tmp_path, monkeypatch):
+    # VERDICT r4 item 10: a rejected whole-program compile is recorded
+    # in a cross-process probe cache; later processes skip the doomed
+    # multi-minute compile attempt entirely.
+    import numpy as np
+    from russell_tpu.sparse import Genie, samples
+    from russell_tpu.sparse import factor as F
+
+    monkeypatch.setattr(F, "_genmf_probe_path",
+                        lambda: str(tmp_path / "probe.json"))
+    coo = samples.irregular_geometric(1500)
+    ii = np.asarray(coo.indices_i[:coo.nnz])
+    jj = np.asarray(coo.indices_j[:coo.nnz])
+    plan = F.analyze(coo.nrow, ii, jj, genie=Genie.GENMF)
+    key = F._genmf_probe_key(plan, "fact", "float32")
+    F._genmf_whole_reject(plan, "fact", "float32",
+                          RuntimeError("SIGKILL (9)"))
+    assert F._genmf_probe_load()[key]["verdict"] == "rejected"
+
+    # a FRESH plan (new process analog) must skip the whole attempt
+    plan2 = F.analyze(coo.nrow, ii, jj, genie=Genie.GENMF)
+    assert F._genmf_whole(plan2, "fact", "float32") is None
+    # other dtypes/kinds are unaffected
+    assert F._genmf_whole(plan2, "solve", "float32") is not None

@@ -813,3 +813,40 @@ def _real_phase_case():
     plan = _splu.splu_analyze(coo.nrow, ii, jj, block_size=8)
     fac = _splu.splu_factorize(plan, jnp.asarray(-np.asarray(vv)))
     return plan, fac
+
+
+def test_complex_mixed_precision_plain_solve_f64_accurate():
+    # VERDICT r4 item 6: plain solve() on a complex128 system under
+    # mixed precision must route through the f64-plane refinement
+    # (factor_solve_planes) and reach the reference's accuracy class
+    # (complex_solver_umfpack.rs tests hit ~1e-15), not the ~2e-8 c64
+    # array-API floor.
+    import numpy as np
+    from russell_tpu.sparse import (CooMatrix, Genie, LinSolver,
+                                    LinSolParams)
+
+    n = 80
+    rng = np.random.default_rng(7)
+    A = np.zeros((n, n), dtype=np.complex128)
+    for k in range(n):
+        A[k, k] = 4.0 + rng.normal() + 1j * rng.normal()
+    for _ in range(4 * n):
+        i, j = rng.integers(0, n, size=2)
+        A[i, j] += 0.3 * (rng.normal() + 1j * rng.normal())
+    ii, jj = np.nonzero(A != 0)
+    m = CooMatrix.from_arrays(n, n, ii, jj, A[ii, jj])
+    sol = LinSolver(Genie.AUTO)
+    sol.factorize(m, LinSolParams(mixed_precision=True))
+    b = rng.normal(size=n) + 1j * rng.normal(size=n)
+    x = np.asarray(sol.solve(b))
+    assert x.dtype == np.complex128
+    x_true = np.linalg.solve(A, b)
+    rel = np.max(np.abs(x - x_true)) / np.max(np.abs(x_true))
+    assert rel < 1e-12
+
+    # a REAL rhs on the complex system must take the same f64 route
+    br = rng.normal(size=n)
+    xr = np.asarray(sol.solve(br))
+    rel_r = (np.max(np.abs(xr - np.linalg.solve(A, br)))
+             / np.max(np.abs(xr)))
+    assert rel_r < 1e-12

@@ -137,6 +137,17 @@ def run_case(name: str) -> int:
     t0 = time.perf_counter_ns()
     solver.solve(rhs)
     solve_warm = time.perf_counter_ns() - t0
+    # error-analysis block (MUMPS ICNTL(11) / RINFOG analogs; VERDICT r4
+    # item 7): computed AFTER the warm timings so the artifact carries
+    # filled omega1/omega2/cond fields without polluting solve_warm.
+    # Matches the reference's StatsLinSolMUMPS error-analysis fields
+    # (stats_lin_sol.rs:198-205).
+    try:
+        solver._error_analysis(x, np.asarray(rhs), True)
+        if not solver.stats.determinant.get("mantissa_real"):
+            solver._store_determinant()
+    except Exception as ex:  # noqa: BLE001 — analysis is best-effort
+        print(f"{name}: error-analysis skipped ({ex})", file=sys.stderr)
     st.matrix["name"] = name
     st.matrix.update(nrow=coo.nrow, ncol=coo.ncol, nnz=int(coo.nnz))
     st.time_nanoseconds["read_matrix"] = t_read
@@ -190,6 +201,11 @@ def main() -> int:
     if os.path.exists(spath):
         with open(spath) as fh:
             summary = json.load(fh)
+    # every configured case appears in the summary: cases never run in
+    # any stage are marked explicitly (VERDICT r4 weak 6 — silent
+    # absence read as coverage)
+    for name in CASES:
+        summary.setdefault(name, {"ok": False, "not_run": True})
     for name, case in CASES.items():
         _genie, tmo = case[1], case[2]
         if args.only and name not in args.only:

@@ -18,7 +18,9 @@ Usage:
     COVERAGE_FLOOR=80 python tools/coverage_report.py tests/ -q
 
 Writes data/logs/coverage.json and exits non-zero when total coverage
-is below COVERAGE_FLOOR (default 80%).
+is below COVERAGE_FLOOR (default 88% — the enforced CI gate, VERDICT r4
+item 8; ratcheting toward the reference's 95%,
+/root/reference/README.md:82).
 """
 
 from __future__ import annotations
@@ -108,7 +110,7 @@ def main() -> int:
         print(f"{rel:<{width}} {rec['covered']:>5}/{rec['lines']:<5} "
               f"{rec['pct']:>5.1f}%")
     print(f"TOTAL {tot_hit}/{tot_all} = {total_pct}%")
-    floor = float(os.environ.get("COVERAGE_FLOOR", "80"))
+    floor = float(os.environ.get("COVERAGE_FLOOR", "88"))
     if int(rc) != 0:
         return int(rc)
     if total_pct < floor:
