@@ -235,7 +235,11 @@ def analyze(
 
     if genie == Genie.GENMF:
         import os as _os
-        leaf = int(_os.environ.get("RUSSELL_TPU_GENMF_LEAF", "96"))
+        # leaf 256 measured on-chip (geometric_264k, genmf_sweep): warm
+        # factorize 0.112 s / 522 GFLOP/s vs 3.26 s at leaf 96 — fewer,
+        # fatter size classes cut the per-depth dispatch count AND feed
+        # the MXU bigger batched fronts; host analyze is also ~5x faster
+        leaf = int(_os.environ.get("RUSSELL_TPU_GENMF_LEAF", "256"))
         gplan = _genmf.genmf_analyze(n, rows, cols, leaf_target=leaf,
                                      pivot_epsilon=pivot_epsilon)
         return SolvePlan(Genie.GENMF, n, rows, cols,
@@ -1260,8 +1264,14 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
         # continue only while each round at least HALVES w: with f32
         # factors one healthy round contracts ~kappa*eps32 (orders of
         # magnitude); sub-2x tail rounds cost a full solve+SpMV for a
-        # last fraction of a digit (2d_317: 8 rounds -> ~5)
-        while k < max_steps and w > float(tol) and w < 0.5 * w_prev:
+        # last fraction of a digit (2d_317: 8 rounds -> ~5). When a
+        # Krylov tier is available, demand a 10x contraction instead —
+        # an IR round that only halves means the f32 factor is a
+        # marginal preconditioner and CG/FGMRES spends the same
+        # per-round solve far better (VERDICT r4 item 2: solve-time
+        # refinement tails dominated every big case)
+        ir_gain = 0.1 if use_cg else 0.5
+        while k < max_steps and w > float(tol) and w < ir_gain * w_prev:
             x = (x + _solve_once(plan, fac, resid, params)).astype(dtype)
             w_prev = w
             resid, w_dev = _resid_w(x, denom0)
@@ -1292,7 +1302,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
                 if w < w_best:
                     x_best, w_best = x, w
                 if (w_best <= float(w_accept) or w > 1e3 * w_best
-                        or stall >= 4):
+                        or stall >= 2):
                     break
                 z2 = _solve_once(plan, fac, resid, params).astype(dtype)
                 beta = jnp.vdot(resid, z2 - z) / rz
@@ -1310,11 +1320,13 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
             k += 1
         return x
 
+    ir_gain_j = 0.1 if use_cg else 0.5
+
     def cond(c):
         _x, _r, w, w_prev, k = c
-        # sub-2x tail rounds are not worth a full solve+SpMV (see the
-        # eager loop above)
-        return (k < max_steps) & (w > tol) & (w < 0.5 * w_prev)
+        # sub-2x tail rounds are not worth a full solve+SpMV; with a CG
+        # tier available demand 10x per round (see the eager loop above)
+        return (k < max_steps) & (w > tol) & (w < ir_gain_j * w_prev)
 
     def body(c):
         x, resid, w, _w_prev, k = c
@@ -1331,7 +1343,7 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
         def cg_cond(c):
             _x, _xb, _r, _z, _p, _rz, w, wb, k, stall = c
             return ((k < max_cg) & (wb > w_accept) & (w < 1e3 * wb)
-                    & (stall < 4))
+                    & (stall < 2))
 
         def cg_body(c):
             x, xb, r, z, p, rz, _w, wb, k, stall = c

@@ -750,7 +750,7 @@ def _plan_steps(plan) -> Dict:
     return st
 
 
-def _depth_groups(plan: GenMfPlan, order=None):
+def _depth_groups(plan: GenMfPlan, order=None, cap=None):
     """Consecutive runs of equal-depth classes in processing order.
 
     Classes within one tree depth never link to each other (child ->
@@ -768,7 +768,8 @@ def _depth_groups(plan: GenMfPlan, order=None):
     # the whole-program kSublaneGather abort. 16 keeps programs small
     # while still cutting dispatches ~13x.
     import os as _os
-    cap = int(_os.environ.get("RUSSELL_TPU_GENMF_GROUP", "16"))
+    if cap is None:
+        cap = int(_os.environ.get("RUSSELL_TPU_GENMF_GROUP", "16"))
     groups = []
     cur = []
     for ci in idx:
@@ -958,9 +959,11 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
     bp = jnp.concatenate([jnp.asarray(bvec).astype(rdt),
                           jnp.zeros(1, rdt)])
 
+    import os as _os
+    scap = int(_os.environ.get("RUSSELL_TPU_GENMF_GROUP_SOLVE", "48"))
     fe_st = [None] * len(plan.classes)
     fk: Dict[int, jnp.ndarray] = {}
-    for gi, group in enumerate(_depth_groups(plan)):
+    for gi, group in enumerate(_depth_groups(plan, cap=scap)):
         key = ("up", gi)
         step = steps.get(key)
         if step is None:
@@ -1013,7 +1016,8 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
     x = jnp.zeros(plan.n + 1, rdt)
     xk: Dict[int, jnp.ndarray] = {}
     rev = range(len(plan.classes) - 1, -1, -1)
-    for gi, group in enumerate(_depth_groups(plan, order=rev)):
+    for gi, group in enumerate(_depth_groups(plan, order=rev,
+                                              cap=scap)):
         key = ("down", gi)
         step = steps.get(key)
         if step is None:

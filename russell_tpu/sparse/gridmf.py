@@ -63,19 +63,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-
-def _idx32(a):
-    """Pin index arrays to int32 before jnp.asarray: under x64 the
-    default materialization is int64, which doubles the constant bytes
-    of every compiled program (enough to crash or multi-hour-stall the
-    remote server compiler on large plans) and cache-misses against
-    non-x64 compiles of the same kernels. Downcast only when the index
-    space fits int32."""
-    a = np.asarray(a)
-    if (a.dtype.kind in "iu" and a.dtype != np.int32
-            and (a.size == 0 or int(a.max()) < 2 ** 31)):
-        return a.astype(np.int32)
-    return a
+from russell_tpu.sparse.ordering import idx32 as _idx32
 
 from russell_tpu.sparse.splu import _inv_block
 

@@ -233,3 +233,18 @@ def mindeg_ordering(n, rows, cols) -> np.ndarray:
             heapq.heappush(heap, (len(s), u))
         neighbors[v] = set()
     return perm
+
+
+def idx32(a):
+    """Pin an index array to int32 before jnp.asarray materialization:
+    under x64 the default is int64, which doubles the constant bytes of
+    every compiled program (enough to crash or multi-hour-stall the
+    remote server compiler on large plans) and cache-misses against
+    non-x64 compiles of the same kernels. Downcast only when the index
+    space fits int32."""
+    import numpy as _np
+    a = _np.asarray(a)
+    if (a.dtype.kind in "iu" and a.dtype != _np.int32
+            and (a.size == 0 or int(a.max()) < 2 ** 31)):
+        return a.astype(_np.int32)
+    return a

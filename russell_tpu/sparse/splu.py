@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from russell_tpu.sparse.ordering import mindeg_ordering, symmetrize_pattern
+from russell_tpu.sparse.ordering import idx32 as _idx32
 
 __all__ = ["SpluPlan", "splu_analyze", "splu_factorize",
            "splu_factorize_multi", "splu_solve", "splu_solve_multi"]
@@ -735,7 +736,7 @@ def _init_states(plan: SpluPlan, datas):
             flat = jnp.zeros(nrow_store * 4 * bb, dtype=rdt)
             b2 = 2 * b
             ide = (nblk + TL) * 4 * bb + np.arange(b2) * b2 + np.arange(b2)
-            flat = flat.at[jnp.asarray(ide)].set(1.0)
+            flat = flat.at[jnp.asarray(_idx32(ide))].set(1.0)
             if len(plan.pad_idx):
                 pidx = np.asarray(plan.pad_idx)
                 pst = pidx // bb
@@ -756,10 +757,10 @@ def _init_states(plan: SpluPlan, datas):
             rdt = data.dtype
             flat = jnp.zeros(nrow_store * bb, dtype=rdt)
             ide = (nblk + TL) * bb + np.arange(b) * b + np.arange(b)
-            flat = flat.at[jnp.asarray(ide)].set(1.0)
+            flat = flat.at[jnp.asarray(_idx32(ide))].set(1.0)
             if len(plan.pad_idx):
-                flat = flat.at[jnp.asarray(plan.pad_idx)].set(1.0)
-            flat = flat.at[jnp.asarray(plan.scatter_idx)].add(data)
+                flat = flat.at[jnp.asarray(_idx32(plan.pad_idx))].set(1.0)
+            flat = flat.at[jnp.asarray(_idx32(plan.scatter_idx))].add(data)
             blocks = flat.reshape(nrow_store, bb)
         deltas.append(plan.pivot_epsilon * (1.0 + jnp.max(jnp.abs(data))))
         states.append((blocks, jnp.zeros((), rdt),
@@ -947,13 +948,13 @@ def splu_factorize_multi(plan: SpluPlan, datas):
     (±1, ICNTL(33)-style sign) for REAL matrices and 1 for complex
     ones."""
     states, deltas, cplxs = _init_states(plan, datas)
-    xs = {k: jnp.asarray(plan.packed[k]) for k in
+    xs = {k: jnp.asarray(_idx32(plan.packed[k])) for k in
           ("t0", "len", "nd", "dinv", "dloc")}
     if _pallas_mode()[0]:
-        xs.update({k: jnp.asarray(v)
+        xs.update({k: jnp.asarray(_idx32(v))
                    for k, v in _pallas_aug(plan.packed).items()})
     else:
-        xs.update({k: jnp.asarray(plan.packed[k]) for k in
+        xs.update({k: jnp.asarray(_idx32(plan.packed[k])) for k in
                    ("pair_l", "pair_u", "pair_seg")})
     out_states = _scan_packed(plan, states, deltas, cplxs, xs)
     facs = []
@@ -998,7 +999,7 @@ def splu_det_phase(plan: SpluPlan, fac):
                                     else jnp.float32),
                           jnp.zeros((), bl.dtype)])
     b2 = 2 * b
-    D = bl[jnp.asarray(plan.diag_idx)].reshape(-1, b2, b2)
+    D = bl[jnp.asarray(_idx32(plan.diag_idx))].reshape(-1, b2, b2)
     M = lax.complex(D[:, :b, :b], D[:, b:, :b])
     tot = jnp.conj(jnp.prod(phase_eliminate(M)))
     return jnp.stack([jnp.real(tot), jnp.imag(tot)])
@@ -1048,7 +1049,7 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     2b on stacked [re; im] vector blocks."""
     b, nb = plan.b, plan.nb
     bb = b * b
-    perm = jnp.asarray(plan.perm)
+    perm = jnp.asarray(_idx32(plan.perm))
     diag_g = jnp.asarray(np.append(plan.diag_idx, 0).astype(np.int32))
 
     blks = []
@@ -1080,7 +1081,7 @@ def splu_solve_multi(plan: SpluPlan, facs, bvecs):
     def run(direction, rhs_list, apply_dinv):
         pk = plan.packed[direction]
         Ucap = pk["Ucap"]
-        xs = {k: jnp.asarray(pk[k]) for k in
+        xs = {k: jnp.asarray(_idx32(pk[k])) for k in
               ("src", "col", "seg", "tgt_g", "tgt_s")}
 
         def row(vs, x):

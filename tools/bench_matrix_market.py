@@ -52,7 +52,10 @@ CASES = {
     # data/logs/inline_1-umfpack.json)
     "laplacian_3d_50": ("laplacian_3d:50", "splu", 1800),
     "laplacian_3d_63": ("laplacian_3d:63", "gridmf", 3600),
-    "laplacian_3d_79": ("laplacian_3d:79", "gridmf", 3600),
+    # r4 ran out at exactly the old 3600 s timeout (cold server-side
+    # compile dominates); int32 index pinning halves the program bytes
+    # and the compile cache persists — give it room to finish once
+    "laplacian_3d_79": ("laplacian_3d:79", "gridmf", 7200),
     # out-of-core: factors (19.7 GB/plane) stream to host RAM; solves
     # re-ship per level over the remote tunnel -> generous timeout
     "laplacian_3d_101": ("laplacian_3d:101", "gridmf", 10800),
