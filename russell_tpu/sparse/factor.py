@@ -742,9 +742,26 @@ def _numeric_factorize(plan: SolvePlan, data, params=None):
         fac["data"] = data
         return fac
     if plan.genie == Genie.GENMF:
-        data, rs, cs = _equilibrate(plan, data)
-        d = data.astype(_factor_dtype(plan, data.dtype))
         if plan.genmf_steps and not isinstance(data, jax.core.Tracer):
+            # ONE jitted dispatch for the pre-step phase (equilibrate +
+            # downcast): eagerly these are ~10 segment/elementwise ops,
+            # each a remote round trip on the tunnel backend — measured
+            # as the bulk of the 3.0 s production-vs-0.03 s-raw
+            # factorize gap at geometric_264k (2026-08-21)
+            cache = getattr(plan, "_genmf_prep", None)
+            if cache is None:
+                cache = plan._genmf_prep = {}
+            in_dt = jnp.asarray(data).dtype if not isinstance(
+                data, np.ndarray) else jnp.zeros(0, data.dtype).dtype
+            prep = cache.get(str(in_dt))
+            if prep is None:
+                fdt = _factor_dtype(plan, in_dt)
+
+                def _prep(data):
+                    data, rs, cs = _equilibrate(plan, data)
+                    return data, data.astype(fdt), rs, cs
+                prep = cache[str(in_dt)] = jax.jit(_prep)
+            data, d, rs, cs = prep(data)
             fac = None
             fn = _genmf_whole(plan, "fact", d.dtype)
             if fn is not None:
@@ -755,6 +772,8 @@ def _numeric_factorize(plan: SolvePlan, data, params=None):
             if fac is None:
                 fac = _genmf.genmf_factorize_steps(plan.genmf_plan, d)
         else:
+            data, rs, cs = _equilibrate(plan, data)
+            d = data.astype(_factor_dtype(plan, data.dtype))
             fac = _genmf.genmf_factorize(plan.genmf_plan, d)
         fac["rs"] = rs
         fac["cs"] = cs
@@ -779,6 +798,11 @@ def _numeric_factorize(plan: SolvePlan, data, params=None):
 
 
 def _genmf_probe_path() -> str:
+    # RUSSELL_TPU_PROBE_CACHE: override for tests (simulated rejections
+    # must not poison the real cross-process cache)
+    env = os.environ.get("RUSSELL_TPU_PROBE_CACHE")
+    if env:
+        return env
     return os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".jax_cache",
         "genmf_whole_probe.json")
@@ -853,6 +877,39 @@ def _genmf_whole(plan: SolvePlan, kind: str, dtype):
             jf = jax.jit(lambda cls, b, P: _genmf.genmf_solve(
                 gplan, {"classes": cls}, b, params=P))
             fn = lambda cls, b: jf(cls, b, pd)
+        cache[key] = fn
+    return fn
+
+
+def _genmf_refine_whole(plan: SolvePlan, dtype):
+    """Plan-cached jit of the FULL adaptive IR+CG refinement around the
+    whole-program genmf_solve graph (skip_fgmres=True): one device
+    dispatch per production solve instead of ~25 ms of tunnel round
+    trip per eager control decision. Same probe-cache discipline as
+    _genmf_whole."""
+    if not int(os.environ.get("RUSSELL_TPU_GENMF_WHOLE", "1")):
+        return None
+    cache = getattr(plan, "_genmf_whole_fns", None)
+    if cache is None:
+        cache = plan._genmf_whole_fns = {}
+    key = ("refine", str(dtype))
+    fn = cache.get(key)
+    if fn is False:
+        return None
+    if fn is None:
+        rec = _genmf_probe_load().get(
+            _genmf_probe_key(plan, "refine", dtype))
+        if rec is not None and rec.get("verdict") == "rejected":
+            cache[key] = False
+            return None
+        pd = cache.get("params")
+        if pd is None:
+            pd = cache["params"] = {
+                k: jnp.asarray(v)
+                for k, v in _genmf.whole_params(plan.genmf_plan).items()}
+        jf = jax.jit(lambda f, b, P: _factor_solve(
+            plan, f, b, None, P, skip_fgmres=True))
+        fn = lambda f, b: jf(f, b, pd)
         cache[key] = fn
     return fn
 
@@ -1045,7 +1102,8 @@ def _solve_once(plan: SolvePlan, fac, b, params=None):
             if x is None:
                 x = _genmf.genmf_solve_steps(plan.genmf_plan, fac, y)
         else:
-            x = _genmf.genmf_solve(plan.genmf_plan, fac, y)
+            x = _genmf.genmf_solve(plan.genmf_plan, fac, y,
+                                   params=params)
         return fac["cs"].astype(out_dtype) * x.astype(out_dtype)
     if plan.use_bcr:
         return _banded_solve_bcr(plan, fac, b)
@@ -1067,7 +1125,7 @@ def factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
 
 
 def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
-                  params=None):
+                  params=None, skip_fgmres=False):
     adaptive = refine_steps is None and plan.mixed32
     if refine_steps is None:
         refine_steps = plan.refine_steps
@@ -1080,6 +1138,28 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
         b = jax.lax.complex(jnp.asarray(re), jnp.asarray(im))
     else:
         b = jnp.asarray(b)
+    if (adaptive and getattr(plan, "genmf_steps", False)
+            and not getattr(plan, "gridmf_ooc", False)
+            and getattr(plan, "symmetric_values", False)
+            and not isinstance(b, jax.core.Tracer)
+            and not jnp.iscomplexobj(b)):
+        # ONE-dispatch adaptive solve for stepped GENMF plans: the
+        # whole-program genmf_solve graph compiles on the attached
+        # backend (2.2 ms warm at geometric_264k, 2026-08-21) and so
+        # does a jit of the full IR+CG refinement around it — the
+        # eager host-driven tiers cost ~25 ms of tunnel round trip per
+        # control decision (~2.5 s per solve at 264k). FGMRES stays
+        # host-driven (its unrolled Arnoldi would put ~20 copies of
+        # the solve graph in one program); symmetric systems converge
+        # in the CG tier, and precision escalation remains the safety
+        # net. A rejected compile is remembered in the cross-process
+        # probe cache and falls back to the eager loops.
+        fn = _genmf_refine_whole(plan, b.dtype)
+        if fn is not None:
+            try:
+                return fn(fac, b)
+            except Exception as ex:  # noqa: BLE001 — compiler abort
+                _genmf_whole_reject(plan, "refine", b.dtype, ex)
     x = _solve_once(plan, fac, b, params)
     if refine_steps <= 0 and not adaptive:
         return x
@@ -1379,6 +1459,13 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
 
         x, w1 = lax.cond(w1 > w_accept, _run_cg,
                          lambda arg: (arg[0], arg[2]), (x, resid1, w1))
+
+    if skip_fgmres:
+        # one-dispatch GENMF refine jit: the unrolled FGMRES cycle
+        # would put ~20 copies of the whole-program solve graph in one
+        # program; the CG tier above carries symmetric systems, and
+        # LinSolver's precision escalation backstops the rest
+        return x
 
     def g_cond(c):
         _x, w, w_prev, k = c

@@ -609,6 +609,20 @@ def genmf_factorize(plan: GenMfPlan, data, shard=None, params=None):
             "n_perturbed": npc}
 
 
+def _ob(x):
+    """Solve-side optimization barrier, removable via env: the barriers
+    keep gathers out of fusions the server compiler aborts on
+    (kSublaneGather CHECK, bisected on the FACT extend-add Schur
+    gathers), but they also stop XLA from fusing the solve sweeps'
+    tiny vector ops — measured 1.06 s device time for ~500 unfused
+    kernels at geometric_264k. RUSSELL_TPU_GENMF_SOLVE_BARRIER=0 drops
+    them from the solve bodies only (probe before production use)."""
+    import os as _os
+    if int(_os.environ.get("RUSSELL_TPU_GENMF_SOLVE_BARRIER", "1")):
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
 def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None, params=None):
     """x = A^{-1} b: up-sweep (rhs elimination, deepest classes first)
     then down-sweep (back-substitution). Jittable. ``params``: optional
@@ -642,10 +656,10 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None, params=None):
             ps = P(f"ps{ci}_{k}", lambda: link.parent_slot)
             li = (params.get(f"lv{ci}_{k}") if params is not None
                   else None)
-            fr = fr.at[ps].add(jax.lax.optimization_barrier(
+            fr = fr.at[ps].add(_ob(
                 _gather_vec(link, fk_re[link.src], li)))
             if cplx:
-                fi = fi.at[ps].add(jax.lax.optimization_barrier(
+                fi = fi.at[ps].add(_ob(
                     _gather_vec(link, fk_im[link.src], li)))
         ev = P(f"ev{ci}", lambda: c.elim_var)
         fr = fr.at[:, :e].add(bp_re[ev])
@@ -708,14 +722,14 @@ def genmf_solve(plan: GenMfPlan, fac, bvec, shard=None, params=None):
                 ).reshape(-1))
                 cs = P(f"cs{ci}_{k}", lambda: link.child_slot)
                 src = plan.classes[link.src]
-                vals = jax.lax.optimization_barrier(
+                vals = _ob(
                     xfr_flat[flat_idx].reshape(m_l, r_l))
                 tgt = xk_re.get(link.src)
                 if tgt is None:
                     tgt = jnp.zeros((src.n_nodes, src.r), rdt)
                 xk_re[link.src] = tgt.at[cs].set(vals)
                 if cplx:
-                    vi = jax.lax.optimization_barrier(
+                    vi = _ob(
                         xfi_flat[flat_idx].reshape(m_l, r_l))
                     ti_ = xk_im.get(link.src)
                     if ti_ is None:
@@ -982,7 +996,7 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                             # optimization_barrier: fusing these gathers
                             # into scatter/slice consumers aborts the
                             # server compiler (kSublaneGather check)
-                            g = jax.lax.optimization_barrier(
+                            g = _ob(
                                 _gather_vec(link, srcs[ofs]))
                             ofs += 1
                             fr = fr.at[jnp.asarray(_idx32(
@@ -990,7 +1004,7 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                         e = c.e
                         ev_flat = jnp.asarray(_idx32(
                             c.elim_var.reshape(-1)))
-                        gb = jax.lax.optimization_barrier(
+                        gb = _ob(
                             bp[ev_flat].reshape(c.n_nodes, e))
                         fr = fr.at[:, :e].add(gb)
                         fer = fr[:, :e]
@@ -1049,7 +1063,7 @@ def genmf_solve_steps(plan: GenMfPlan, fac, bvec):
                                 flat_idx = jnp.asarray(_idx32(
                                     (link.parent_slot[:, None] * F1
                                      + link.fwd).reshape(-1)))
-                                outs.append(jax.lax.optimization_barrier(
+                                outs.append(_ob(
                                     xf_flat[flat_idx].reshape(m_l, r_l)))
                     return (x, *outs)
                 return jax.jit(body, donate_argnums=(0,))
@@ -1109,18 +1123,18 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
                     fi = jnp.zeros((c.n_nodes, c.F), rdt)
                     for k, link in enumerate(c.links):
                         ps = jnp.asarray(_idx32(link.parent_slot))
-                        gr = jax.lax.optimization_barrier(
+                        gr = _ob(
                             _gather_vec(link, fk_srcs[2 * k]))
-                        gi = jax.lax.optimization_barrier(
+                        gi = _ob(
                             _gather_vec(link, fk_srcs[2 * k + 1]))
                         fr = fr.at[ps].add(gr)
                         fi = fi.at[ps].add(gi)
                     e = c.e
                     ev_flat = jnp.asarray(_idx32(
                         c.elim_var.reshape(-1)))
-                    gbr = jax.lax.optimization_barrier(
+                    gbr = _ob(
                         bp_re[ev_flat].reshape(c.n_nodes, e))
-                    gbi = jax.lax.optimization_barrier(
+                    gbi = _ob(
                         bp_im[ev_flat].reshape(c.n_nodes, e))
                     fr = fr.at[:, :e].add(gbr)
                     fi = fi.at[:, :e].add(gbi)
@@ -1185,9 +1199,9 @@ def _genmf_solve_steps_planes(plan: GenMfPlan, fac, bvec):
                             flat_idx = jnp.asarray(_idx32(
                                 (link.parent_slot[:, None] * F1
                                  + link.fwd).reshape(-1)))
-                            outs.append(jax.lax.optimization_barrier(
+                            outs.append(_ob(
                                 xfr_flat[flat_idx].reshape(m_l, r_l)))
-                            outs.append(jax.lax.optimization_barrier(
+                            outs.append(_ob(
                                 xfi_flat[flat_idx].reshape(m_l, r_l)))
                         return (x_re, x_im, *outs)
                     return (x_re, x_im)

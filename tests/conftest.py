@@ -12,6 +12,13 @@ import sys
 # Must be set before jax is imported anywhere. Note: the harness environment
 # pins JAX_PLATFORMS=axon (remote TPU tunnel); tests must run on local CPU.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# tests simulate whole-program compile rejections; keep those out of the
+# real cross-process probe cache (.jax_cache/genmf_whole_probe.json)
+os.environ["RUSSELL_TPU_PROBE_CACHE"] = "/tmp/russell_tpu_test_probe.json"
+try:  # stale rejections from a previous test run must not leak in
+    os.remove("/tmp/russell_tpu_test_probe.json")
+except OSError:
+    pass
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

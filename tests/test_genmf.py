@@ -348,3 +348,45 @@ def test_whole_program_probe_cache(tmp_path, monkeypatch):
     assert F._genmf_whole(plan2, "fact", "float32") is None
     # other dtypes/kinds are unaffected
     assert F._genmf_whole(plan2, "solve", "float32") is not None
+
+
+def test_genmf_refine_whole_one_dispatch():
+    # the stepped-GENMF adaptive solve routes through ONE jitted
+    # IR+CG refinement around the whole-program solve graph when the
+    # system is symmetric (TPU production path; here forced on CPU) —
+    # must match the eager-loop answer to the 1e-10 contract
+    import numpy as np
+    import jax.numpy as jnp
+    from russell_tpu.sparse import factor as F
+    from russell_tpu.sparse import samples
+    from russell_tpu.sparse.enums import Genie
+
+    coo = samples.laplacian_2d(28)          # symmetric values
+    ii = np.asarray(coo.indices_i[:coo.nnz])
+    jj = np.asarray(coo.indices_j[:coo.nnz])
+    vv = np.asarray(coo.values[:coo.nnz]).astype(np.float64)
+    plan = F.analyze(coo.nrow, ii, jj, genie=Genie.GENMF,
+                     mixed_precision=True)
+    plan.genmf_steps = True
+    plan.symmetric_values = True
+    fac = F.numeric_factorize(plan, vv)
+    b = np.sin(np.arange(coo.nrow)).astype(np.float64)
+    x = F.factor_solve(plan, fac, b)
+    # the jitted refine path must have been built (not rejected)
+    assert plan._genmf_whole_fns.get(("refine", "float64")) not in (
+        None, False)
+    A = np.zeros((coo.nrow, coo.nrow))
+    np.add.at(A, (ii, jj), vv)
+    rel = (np.max(np.abs(A @ np.asarray(x) - b))
+           / max(np.max(np.abs(b)), 1e-30))
+    assert rel < 1e-10
+
+    # eager fallback must agree when the jit is marked rejected
+    plan2 = F.analyze(coo.nrow, ii, jj, genie=Genie.GENMF,
+                      mixed_precision=True)
+    plan2.genmf_steps = True
+    plan2.symmetric_values = True
+    plan2._genmf_whole_fns = {("refine", "float64"): False}
+    fac2 = F.numeric_factorize(plan2, vv)
+    x2 = F.factor_solve(plan2, fac2, b)
+    assert np.max(np.abs(np.asarray(x) - np.asarray(x2))) < 1e-9
