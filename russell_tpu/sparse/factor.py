@@ -1140,26 +1140,36 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
         b = jnp.asarray(b)
     if (adaptive and getattr(plan, "genmf_steps", False)
             and not getattr(plan, "gridmf_ooc", False)
-            and getattr(plan, "symmetric_values", False)
             and not isinstance(b, jax.core.Tracer)
             and not jnp.iscomplexobj(b)):
         # ONE-dispatch adaptive solve for stepped GENMF plans: the
         # whole-program genmf_solve graph compiles on the attached
         # backend (2.2 ms warm at geometric_264k, 2026-08-21) and so
-        # does a jit of the full IR+CG refinement around it — the
-        # eager host-driven tiers cost ~25 ms of tunnel round trip per
-        # control decision (~2.5 s per solve at 264k). FGMRES stays
-        # host-driven (its unrolled Arnoldi would put ~20 copies of
-        # the solve graph in one program); symmetric systems converge
-        # in the CG tier, and precision escalation remains the safety
-        # net. A rejected compile is remembered in the cross-process
-        # probe cache and falls back to the eager loops.
+        # does a jit of the full IR(+CG when symmetric) refinement
+        # around it — the eager host-driven tiers cost ~25-40 ms of
+        # tunnel round trip per control decision (~2.5 s per solve at
+        # 264k). FGMRES stays host-driven (its unrolled Arnoldi would
+        # put ~20 copies of the solve graph in one program): the jit
+        # returns (x, w); only if w still exceeds the acceptance
+        # threshold does the host fall through to the eager tiers
+        # (rare — IR alone reaches ~1e-13 on the benchmark class).
+        # A rejected compile is remembered in the cross-process probe
+        # cache. Precision escalation remains the safety net.
         fn = _genmf_refine_whole(plan, b.dtype)
         if fn is not None:
             try:
-                return fn(fac, b)
+                x_w = fn(fac, b)
             except Exception as ex:  # noqa: BLE001 — compiler abort
                 _genmf_whole_reject(plan, "refine", b.dtype, ex)
+            else:
+                x_j, w_j = x_w
+                rdt_h = jnp.zeros(
+                    (), fac["data"].dtype).real.dtype
+                w_ok = float(max(300.0, 3.0 * np.sqrt(plan.n))
+                             * jnp.finfo(rdt_h).eps)
+                if float(w_j) <= w_ok:
+                    return x_j
+                # fall through to the full eager tiers (FGMRES)
     x = _solve_once(plan, fac, b, params)
     if refine_steps <= 0 and not adaptive:
         return x
@@ -1463,9 +1473,11 @@ def _factor_solve(plan: SolvePlan, fac, b, refine_steps=None,
     if skip_fgmres:
         # one-dispatch GENMF refine jit: the unrolled FGMRES cycle
         # would put ~20 copies of the whole-program solve graph in one
-        # program; the CG tier above carries symmetric systems, and
-        # LinSolver's precision escalation backstops the rest
-        return x
+        # program; the CG tier above carries symmetric systems, IR
+        # alone carries well-conditioned unsymmetric ones, and the
+        # caller falls back to the eager FGMRES tiers (then precision
+        # escalation) when the returned w says neither sufficed
+        return x, w1
 
     def g_cond(c):
         _x, w, w_prev, k = c

@@ -14,9 +14,10 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 # tests simulate whole-program compile rejections; keep those out of the
 # real cross-process probe cache (.jax_cache/genmf_whole_probe.json)
-os.environ["RUSSELL_TPU_PROBE_CACHE"] = "/tmp/russell_tpu_test_probe.json"
-try:  # stale rejections from a previous test run must not leak in
-    os.remove("/tmp/russell_tpu_test_probe.json")
+_probe = f"/tmp/russell_tpu_test_probe_{os.getpid()}.json"
+os.environ["RUSSELL_TPU_PROBE_CACHE"] = _probe
+try:  # stale rejections (previous or CONCURRENT runs) must not leak in
+    os.remove(_probe)
 except OSError:
     pass
 flags = os.environ.get("XLA_FLAGS", "")
