@@ -391,7 +391,13 @@ class LinSolver:
         x = self._solve_fn(self.fac, rhs)
         x.block_until_ready()
         if (getattr(self.plan, "mixed32", False)
-                and not getattr(self, "_escalated", False)):
+                and not getattr(self, "_escalated", False)
+                and getattr(self, "_esc_checked", None)
+                is not self.fac):
+            # one escalation probe per FACTORIZATION: solves against the
+            # same factors share the same conditioning, and the probe's
+            # SpMV + host sync costs ~50 ms per solve on the tunnel
+            self._esc_checked = self.fac
             w = self._backward_error(x, rhs)
             # dtype only — np.asarray(device_array) would DOWNLOAD the
             # full values array on every solve
