@@ -64,7 +64,7 @@ CASES = {
     # (pres-cylin-3d-tet10-fine, n=1,711,464, MUMPS factorize 81.6 s,
     # russell_sparse/data/logs/pres-cylin-3d-tet10-fine_MUMPS.json).
     # GRIDMF factor store ~39 GB/plane f32 -> out-of-core streaming
-    "laplacian_3d_120": ("laplacian_3d:120", "gridmf", 14400),
+    "laplacian_3d_120": ("laplacian_3d:120", "gridmf", 9000),
     "conv_diff_3d_63": ("laplacian_3d:63:0.5", "gridmf", 3600),
     # Raj1-class irregular (circuit/FEM stand-in, n=263743 like Raj1):
     # random-geometric graph, no grid hint — the GENMF general-matrix
