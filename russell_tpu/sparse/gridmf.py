@@ -609,6 +609,124 @@ def gridmf_store_gb(plan: GridMfPlan, bytes_per: int = 4) -> float:
                            for lv in plan.levels) / 2 ** 30
 
 
+def _ooc_depth_chunked(plan, d, uniq_re, sch_re, delta, rdt, ch_gb,
+                       steps):
+    """One OOC tree depth whose full front batch exceeds the HBM chunk
+    budget: assemble + extend-add + factor per NODE CHUNK, child Schur
+    on host. Per-chunk assembly indices ship as padded ARGUMENTS so one
+    compiled program covers every full-size chunk (the remainder chunk
+    compiles once more). Numerics identical to the whole-depth path
+    (same ops per node, same order)."""
+    lv = plan.levels[d]
+    F = lv.F
+    e = lv.e
+    itm = np.dtype(rdt).itemsize
+    c_nodes = max(1, int((ch_gb * 2 ** 30) // (F * F * itm)))
+    c_nodes = min(c_nodes, lv.n_nodes)
+
+    # host-side per-depth assembly prep, cached on the plan
+    prep = _plan_cache(plan, "ooc_chunk_prep").get(d)
+    if prep is None:
+        asm = np.asarray(lv.asm_idx, np.int64)
+        order = np.argsort(asm, kind="stable")
+        asm_sorted = asm[order]
+        gd = np.sort(np.asarray(lv.ghost_diag, np.int64)) if len(
+            lv.ghost_diag) else np.zeros(0, np.int64)
+        prep = (asm_sorted, order.astype(np.int64), gd)
+        _plan_cache(plan, "ooc_chunk_prep")[d] = prep
+    asm_sorted, order, gd = prep
+
+    # per-chunk index slices (host)
+    bounds = list(range(0, lv.n_nodes, c_nodes))
+    chunks = []
+    for a in bounds:
+        b = min(a + c_nodes, lv.n_nodes)
+        lo, hi = np.searchsorted(asm_sorted,
+                                 [a * F * F, b * F * F])
+        glo, ghi = np.searchsorted(gd, [a * F * F, b * F * F])
+        chunks.append((a, b, lo, hi, glo, ghi))
+    Lmax = max(hi - lo for _, _, lo, hi, _, _ in chunks)
+    Gmax = max(ghi - glo for *_, glo, ghi in chunks)
+
+    # jitted fronts program per (depth, chunk node count, index widths)
+    def make_fronts(nn, Ln, Gn):
+        child = plan.levels[d + 1] if d + 1 < len(plan.levels) else None
+
+        def body(uniq, gidx, idx_local, gd_local, sch_chunk):
+            flat = jnp.zeros(nn * F * F, dtype=rdt)
+            if Gn:
+                flat = flat.at[gd_local].add(1.0, mode="drop")
+            if Ln:
+                vals = uniq[gidx]
+                flat = flat.at[idx_local].add(vals.astype(rdt),
+                                              mode="drop")
+            fr = flat.reshape(nn, F, F)
+            if sch_chunk is not None and child is not None:
+                r = sch_chunk.shape[-1]
+                Sp = sch_chunk.reshape(nn, 2, r, r)
+                for side in (0, 1):
+                    m = child.emb[side].copy()
+                    m[m < 0] = F
+                    mj = jnp.asarray(_idx32(m))
+                    fr = fr.at[:, mj[:, None], mj[None, :]].add(
+                        Sp[:, side], mode="drop")
+            return fr
+        return jax.jit(body)
+
+    parts_sir, parts_lr, parts_br, parts_sch = [], [], [], []
+    ld_d = 0.0
+    mp_d = np.inf
+    np_d = 0
+    ph_d = 1.0
+    have_sch = sch_re is not None
+    sch_host = (np.asarray(jax.device_get(sch_re))
+                if have_sch and not isinstance(sch_re, np.ndarray)
+                else sch_re)
+    del sch_re
+    step_factor = steps[d][1]
+    for (a, b, lo, hi, glo, ghi) in chunks:
+        nn = b - a
+        # pad index args to the per-depth max so full chunks share one
+        # program (padded scatter slots point OOB -> mode="drop")
+        Ln = Lmax if nn == c_nodes else (hi - lo)
+        Gn = Gmax if nn == c_nodes else (ghi - glo)
+        idx_local = np.full(Ln, nn * F * F, np.int64)
+        idx_local[:hi - lo] = asm_sorted[lo:hi] - a * F * F
+        gidx = np.zeros(Ln, np.int64)
+        gidx[:hi - lo] = lv.asm_off + order[lo:hi]
+        gd_local = np.full(Gn, nn * F * F, np.int64)
+        gd_local[:ghi - glo] = gd[glo:ghi] - a * F * F
+        key = ("cfr", d, nn, Ln, Gn)
+        cf = steps.get(key)
+        if cf is None:
+            cf = steps[key] = make_fronts(nn, Ln, Gn)
+        schc = (jnp.asarray(sch_host[2 * a:2 * b]) if have_sch
+                else None)
+        fr_c = cf(uniq_re, jnp.asarray(_idx32(gidx)),
+                  jnp.asarray(_idx32(idx_local)),
+                  jnp.asarray(_idx32(gd_local)), schc)
+        del schc
+        SIr, Lr, Br, sch_c, ldc, mpc, npcc, phc = step_factor(fr_c,
+                                                              delta)
+        del fr_c
+        parts_sir.append(jax.device_get(SIr))
+        parts_lr.append(jax.device_get(Lr))
+        parts_br.append(jax.device_get(Br))
+        parts_sch.append(jax.device_get(sch_c))
+        del SIr, Lr, Br, sch_c
+        ld_d += float(ldc)
+        mp_d = min(mp_d, float(mpc))
+        np_d += int(npcc)
+        ph_d *= float(phc)
+    del sch_host
+    store_d = {"sir": np.concatenate(parts_sir), "sii": None,
+               "lr": np.concatenate(parts_lr), "li": None,
+               "br": np.concatenate(parts_br), "bi": None}
+    sch_out = (parts_sch[0] if len(parts_sch) == 1
+               else np.concatenate(parts_sch, axis=0))
+    return store_d, sch_out, ld_d, mp_d, np_d, ph_d
+
+
 def gridmf_factorize_ooc(plan: GridMfPlan, data):
     """Out-of-core factorization: factors stream to HOST RAM.
 
@@ -697,6 +815,30 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
 
                 return (jax.jit(fronts), jax.jit(factor))
             step = steps[d] = make(d)
+        lv = plan.levels[d]
+        F = lv.F
+        import os as _os
+        ch_gb = float(_os.environ.get("RUSSELL_TPU_GRIDMF_CHUNK_GB",
+                                      "2.0"))
+        fr_bytes_full = lv.n_nodes * F * F * np.dtype(rdt).itemsize
+        if fr_bytes_full > ch_gb * 2 ** 30:
+            # whole-depth fronts would not even FIT in HBM (measured
+            # RESOURCE_EXHAUSTED right at assemble on 120^3, whose worst
+            # depth is 16 GB of fronts): assemble AND factor per node
+            # chunk, with the child Schur held on HOST and shipped per
+            # chunk. Per-chunk assembly scatter/gather indices ride as
+            # ARGUMENTS (padded to a per-depth max so one program covers
+            # all full chunks).
+            out = _ooc_depth_chunked(plan, d, uniq_re, sch_re, delta,
+                                     rdt, ch_gb, steps)
+            store[d], sch_re, ld_d, mp_d, np_d, ph_d = out
+            ld += ld_d
+            mp = min(mp, mp_d)
+            npc += np_d
+            ph *= ph_d
+            continue
+        if isinstance(sch_re, np.ndarray):
+            sch_re = jnp.asarray(sch_re)
         fr = step[0](uniq_re, sch_re)
         jax.block_until_ready(fr)
         del sch_re                       # free the child Schur NOW
@@ -707,7 +849,6 @@ def gridmf_factorize_ooc(plan: GridMfPlan, data):
         # the working set ~fr + fr/nch. Chunk boundaries stay
         # even-aligned so the 2i/2i+1 child pairing of the next depth's
         # extend-add is preserved when the Schur chunks re-concatenate.
-        lv = plan.levels[d]
         fr_bytes = fr.size * fr.dtype.itemsize
         nch = max(1, int(np.ceil(fr_bytes / (1.5 * 2 ** 30))))
         chunk = max(2, 2 * int(np.ceil(lv.n_nodes / (2 * nch))))

@@ -376,3 +376,30 @@ def test_gridmf_mixed_precision_anisotropic_fgmres():
     w = np.max(np.abs(A @ x - b) / (np.abs(A) @ np.abs(x) + np.abs(b)
                                     + 1e-300))
     assert w < 5 * np.finfo(np.float64).eps, w
+
+
+def test_ooc_chunked_fronts_matches_in_core(monkeypatch):
+    # depths whose full front batch exceeds the chunk budget assemble
+    # and factor per node chunk with the child Schur on host
+    # (RESOURCE_EXHAUSTED fix for 120^3); must match the in-core answer
+    import numpy as np
+    from russell_tpu.sparse import (Genie, LinSolver, LinSolParams,
+                                    VerifyLinSys, samples)
+
+    monkeypatch.setenv("RUSSELL_TPU_GRIDMF_MEM_GB", "1e-9")
+    monkeypatch.setenv("RUSSELL_TPU_GRIDMF_CHUNK_GB", "2e-5")
+    coo = samples.laplacian_2d(24)
+    sol = LinSolver(Genie.GRIDMF)
+    sol.factorize(coo, LinSolParams(grid=(24, 24, 1),
+                                    mixed_precision=True))
+    assert sol.plan.gridmf_ooc
+    b = np.sin(np.arange(coo.nrow))
+    x = sol.solve(b)
+    assert VerifyLinSys.from_system(coo, x, b).relative_error < 1e-10
+
+    monkeypatch.setenv("RUSSELL_TPU_GRIDMF_MEM_GB", "100")
+    sol2 = LinSolver(Genie.GRIDMF)
+    sol2.factorize(coo, LinSolParams(grid=(24, 24, 1),
+                                     mixed_precision=True))
+    x2 = sol2.solve(b)
+    assert float(np.max(np.abs(np.asarray(x) - np.asarray(x2)))) < 1e-12
