@@ -72,7 +72,7 @@ def bench_spmv(ndev, base_points):
     xs = jnp.ones(coo.nrow, dtype=jnp.float32)
     fs = jax.jit(csr.mat_vec_mul)
     t_single = _time(lambda: fs(xs), lambda y: y.block_until_ready(), 5)
-    return t_dist, t_single, coo.nnz, 2 * coo.nnz
+    return t_dist, t_single, coo.nnz, 2 * coo.nnz, None
 
 
 def bench_splu(ndev, base_points):
@@ -92,7 +92,14 @@ def bench_splu(ndev, base_points):
     t_single = _time(lambda: fs(d), lambda b: b.block_until_ready(), 2)
     # schedule rows ~ block ops: a work proxy when no flop count exists
     work = int(plan.nblk) * plan.b ** 3
-    return t_dist, t_single, coo.nnz, work
+    extras = {
+        # one psum per packed scan row: the collective count whose fixed
+        # per-row sync cost (overhead_probe.in_scan_psum_us) bounds this
+        # kernel's dist_speedup below 1.0 on a virtual shared-core mesh
+        "psums_per_factorize": int(np.asarray(
+            plan.packed["t0"]).shape[0]),
+    }
+    return t_dist, t_single, coo.nnz, work, extras
 
 
 def bench_gridmf(ndev, base_points):
@@ -111,7 +118,7 @@ def bench_gridmf(ndev, base_points):
                    lambda x: x.block_until_ready(), 3)
     fs = jax.jit(lambda v: G.gridmf_factorize(plan, v)["logdet"])
     t_single = _time(lambda: fs(d), lambda x: x.block_until_ready(), 3)
-    return t_dist, t_single, coo.nnz, G.gridmf_flops(plan)
+    return t_dist, t_single, coo.nnz, G.gridmf_flops(plan), None
 
 
 def overhead_probe(ndev):
@@ -148,9 +155,44 @@ def overhead_probe(ndev):
     fe = jax.jit(shard_map(lambda v: (v[0] + 1.0)[None], mesh=mesh,
                            in_specs=(P(ax, None),), out_specs=P(ax, None)))
     t_e = _time(lambda: fe(ash), lambda y: y.block_until_ready(), 10)
+    # in-program psum cost: a scan of K rows with a per-row psum vs the
+    # same scan without — the marginal cost of EACH per-scan-row
+    # collective dist_splu_factorize executes, at a small payload (sync
+    # cost) and at the kernel's REAL payload ((TL+1)*b*b f32 ~ 1 MB at
+    # the bench scale: on a shared-core mesh an 8-way 1 MB reduce is
+    # ~8 MB of memcpy per row; on real ICI it is ~microseconds and
+    # overlaps with compute)
+    K = 21
+    import jax.lax as lax
+
+    def scan_psum_ms(width):
+        small = jnp.ones((ndev, width), dtype=jnp.float32)
+        ssh = jax.device_put(small, NamedSharding(mesh, P(ax, None)))
+
+        def scan_body(with_psum):
+            def local(v):
+                def step(c, _):
+                    c = jnp.sin(c) * 1.0001
+                    if with_psum:
+                        c = c + 0.0 * lax.psum(c, ax)
+                    return c, None
+                out, _ = lax.scan(step, v[0], None, length=K)
+                return out[None]
+            return jax.jit(shard_map(
+                local, mesh=mesh, in_specs=(P(ax, None),),
+                out_specs=P(ax, None)))
+
+        t_p = _time(lambda: scan_body(True)(ssh),
+                    lambda y: y.block_until_ready(), 3)
+        t_n = _time(lambda: scan_body(False)(ssh),
+                    lambda y: y.block_until_ready(), 3)
+        return (t_p - t_n) / K * 1e3
+
     return {
         "compute_bound_shard_speedup": round(t_s / t_d, 3),
         "trivial_sharded_op_ms": round(t_e * 1e3, 3),
+        "in_scan_psum_small_ms": round(scan_psum_ms(256), 3),
+        "in_scan_psum_splu_payload_ms": round(scan_psum_ms(262400), 3),
         "note": "compute_bound_shard_speedup ~1.0 means the virtual "
                 "mesh cannot make ANY kernel faster than single-device "
                 "except by fixing a serialization in the single-device "
@@ -178,7 +220,7 @@ def main():
         base_rate = None
         base_frate = None
         for nd in ndevs:
-            t_dist, t_single, nnz, flops = bench(nd, base)
+            t_dist, t_single, nnz, flops, extras = bench(nd, base)
             rate = nnz / t_dist
             frate = flops / t_dist
             if base_rate is None:
@@ -200,10 +242,32 @@ def main():
                     min(1.0, ncores / nd), 3),
                 "dist_speedup_vs_single_device": round(t_single / t_dist, 3),
             }
+            if extras:
+                rec.update(extras)
             results.append(rec)
             print(json.dumps(rec), flush=True)
     probe = overhead_probe(ndevs[-1])
     print(json.dumps(probe), flush=True)
+    # arithmetic of the dist_splu ceiling on THIS run's numbers: the
+    # psum cost floor = scan rows x measured per-psum cost at the real
+    # payload, paid on top of the single-device work, so the best
+    # possible dist_speedup here is t_single / (t_single + floor)
+    splu_floor = None
+    splu8 = [r for r in results if r["kernel"] == "dist_splu_factorize"
+             and "psums_per_factorize" in r]
+    if splu8:
+        r = splu8[-1]
+        t_dist_ms = r["nnz"] / r["nnz_per_s"] * 1e3
+        t_single_ms = t_dist_ms * r["dist_speedup_vs_single_device"]
+        floor_ms = (r["psums_per_factorize"]
+                    * probe["in_scan_psum_splu_payload_ms"])
+        splu_floor = {
+            "psums": r["psums_per_factorize"],
+            "floor_ms": round(floor_ms, 1),
+            "t_single_ms": round(t_single_ms, 1),
+            "speedup_ceiling": round(
+                t_single_ms / (t_single_ms + floor_ms), 3),
+        }
     out = {
         "harness": "tools/weak_scaling.py",
         "environment": (f"virtual {ndevs[-1]}-device CPU mesh "
@@ -223,14 +287,20 @@ def main():
             "its collective design. dist_spmv amortizes it at 10^7 "
             "nnz (one all_gather per call; the x-replicated variant "
             "times IDENTICALLY, so the collective itself is free). "
-            "dist_splu_factorize psums once per SCAN ROW (hundreds "
-            "of collectives per factorize) — each pays the fixed "
-            "partition overhead on a virtual mesh, which is why it "
-            "cannot break even here; on real ICI a 50 KB psum is "
-            "~microseconds and overlapped. The >=70% BASELINE "
+            "dist_splu_factorize psums a ~1 MB Schur-contribution "
+            "block once per SCAN ROW (psums_per_factorize in its "
+            "records) — the measured marginal cost of an in-scan psum "
+            "at that payload (overhead_probe.in_scan_psum_splu_payload"
+            "_ms: an 8-way 1 MB reduce is ~8 MB of memcpy on shared "
+            "cores) times that count is a hard cost floor the "
+            "single-device program never pays (see "
+            "dist_splu_psum_floor below), which is why this kernel "
+            "cannot break even here; on real ICI a 1 MB psum is "
+            "~10 us/hop and overlapped. The >=70% BASELINE "
             "weak-scaling target applies to real multi-chip ICI "
             "hardware."),
         "overhead_probe": probe,
+        "dist_splu_psum_floor": splu_floor,
         "date": __import__("datetime").date.today().isoformat(),
         "results": results,
     }
