@@ -803,9 +803,13 @@ def _genmf_probe_path() -> str:
     env = os.environ.get("RUSSELL_TPU_PROBE_CACHE")
     if env:
         return env
+    # lives under data/ (COMMITTED), not .jax_cache (gitignored): a
+    # fresh checkout must inherit the rejected-compile verdicts — a
+    # missing cache re-pays a ~30 min doomed whole-program-FACT compile
+    # on the first GENMF production run (measured 2026-08-21)
     return os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), ".jax_cache",
-        "genmf_whole_probe.json")
+        os.path.dirname(os.path.abspath(__file__)))), "data",
+        "probe_cache", "genmf_whole_probe.json")
 
 
 def _genmf_probe_key(plan: SolvePlan, kind: str, dtype) -> str:
